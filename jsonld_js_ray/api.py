@@ -1,0 +1,106 @@
+"""Public per-document API.
+
+Mirrors the reference's public surface (/root/reference/lib/jsonld.js:
+expand :265-343, flatten :345-411, toRDF :679-712, canonize :564-604,
+fromRDF :606-677, compact :108-248, frame :395-495) as pure Python
+functions over parsed JSON values. These are the per-document kernels the
+Ray stages wrap; they never touch Ray."""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from .core.canonize import canonical_id_map, canonize as _canonize_quads
+from .core.canonize import canonize_quads
+from .core.context import initial_context, process_context
+from .core.expand import expand_document
+from .core.node_map import IdentifierIssuer, flatten_expanded
+from .core.nquads import parse as parse_nquads
+from .core.nquads import serialize as serialize_nquads
+from .core.resolver import ContextResolver
+from .core.to_rdf import to_rdf as _to_rdf
+
+
+def _opts(options: Optional[dict]) -> dict:
+    o = dict(options or {})
+    o.setdefault("base", None)
+    o.setdefault("processingMode", "json-ld-1.1")
+    if "context_resolver" not in o:
+        o["context_resolver"] = ContextResolver(o.get("contexts") or {})
+    return o
+
+
+def expand(document, options: Optional[dict] = None) -> list:
+    return expand_document(document, _opts(options))
+
+
+def flatten(document, ctx=None, options: Optional[dict] = None):
+    options = _opts(options)
+    expanded = expand_document(document, options)
+    flattened = flatten_expanded(expanded)
+    if ctx is None:
+        return flattened
+    from .core.compact import compact_document
+    return compact_document(flattened, ctx, options, from_flatten=True)
+
+
+def to_rdf(document, options: Optional[dict] = None) -> list:
+    """Document → quads. Pass ``skipExpansion`` to treat input as expanded."""
+    options = _opts(options)
+    if options.get("skipExpansion"):
+        expanded = document
+    else:
+        expanded = expand_document(document, options)
+    return _to_rdf(expanded, options)
+
+
+def to_nquads(document, options: Optional[dict] = None) -> str:
+    return serialize_nquads(to_rdf(document, options))
+
+
+def canonize(document, options: Optional[dict] = None) -> str:
+    """RDFC-1.0 canonical N-Quads (safe mode on by default, matching the
+    reference's canonize defaults, jsonld.js:570-575)."""
+    options = _opts(options)
+    options.setdefault("safe", True)
+    if options.get("inputFormat") == "application/n-quads":
+        quads = parse_nquads(document)
+    else:
+        quads = to_rdf(document, options)
+    return _canonize_quads(
+        quads, max_deep_iterations=options.get("maxDeepIterations", 2000))
+
+
+def canonize_dataset(quads, options: Optional[dict] = None) -> str:
+    options = _opts(options)
+    return _canonize_quads(
+        quads, max_deep_iterations=options.get("maxDeepIterations", 2000))
+
+
+def from_rdf(dataset, options: Optional[dict] = None):
+    from .core.from_rdf import from_rdf_quads
+    options = _opts(options)
+    if isinstance(dataset, str):
+        dataset = parse_nquads(dataset)
+    return from_rdf_quads(dataset, options)
+
+
+def compact(document, ctx, options: Optional[dict] = None):
+    from .core.compact import compact_document
+    options = _opts(options)
+    expanded = expand_document(document, options)
+    return compact_document(expanded, ctx, options)
+
+
+def frame(document, frame_doc, options: Optional[dict] = None):
+    from .core.frame import frame_document
+    options = _opts(options)
+    return frame_document(document, frame_doc, options)
+
+
+__all__ = [
+    "expand", "flatten", "to_rdf", "to_nquads", "canonize",
+    "canonize_dataset", "canonize_quads", "canonical_id_map", "from_rdf",
+    "compact", "frame", "parse_nquads", "serialize_nquads",
+    "ContextResolver", "IdentifierIssuer",
+]

@@ -1,0 +1,705 @@
+"""JSON-LD 1.1 Compaction.
+
+Implements Inverse Context Creation, Term Selection, IRI Compaction,
+Value Compaction and the Compaction Algorithm (W3C JSON-LD 1.1 API §4.3,
+§4.4, §4.5, §4.6, §6.1) from the public spec. Behavioral parity target:
+/root/reference/lib/compact.js (:58-655 compaction, :671-941 compactIri,
+:954-1071 compactValue, term selection :1085-1145) and the inverse-context
+builder at lib/context.js:1238-1398."""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from .context import ActiveContext, expand_iri, process_context
+from .errors import JsonLdError
+from .keywords import (
+    is_graph, is_keyword, is_list, is_simple_graph, is_subject_reference,
+    is_value,
+)
+from .node_map import add_value
+from .url import remove_base
+
+
+def _shortest_least(a: str) -> tuple:
+    return (len(a), a)
+
+
+def inverse_context(active_ctx: ActiveContext) -> dict:
+    """Inverse Context Creation (spec §4.3.2)."""
+    if active_ctx._inverse is not None:
+        return active_ctx._inverse
+    result: dict[str, dict] = {}
+    default_lang_dir = f"{active_ctx.default_language or '@none'}" \
+        f"_{active_ctx.default_direction or '@none'}".lower()
+    for term in sorted(active_ctx.mappings.keys(), key=_shortest_least):
+        td = active_ctx.mappings[term]
+        if td is None or td.get("@id") is None:
+            continue
+        container = "".join(sorted(td.get("@container") or [])) or "@none"
+        var = td["@id"]
+        container_map = result.setdefault(var, {})
+        tl_map = container_map.setdefault(
+            container, {"@language": {}, "@type": {}, "@any": {}})
+        tl_map["@any"].setdefault("@none", term)
+        type_map = tl_map["@type"]
+        lang_map = tl_map["@language"]
+        if td.get("reverse"):
+            type_map.setdefault("@reverse", term)
+        elif td.get("@type") == "@none":
+            lang_map.setdefault("@any", term)
+            type_map.setdefault("@any", term)
+        elif td.get("@type") is not None:
+            type_map.setdefault(td["@type"], term)
+        elif td.get("_has_language") and td.get("_has_direction"):
+            lang = td.get("@language")
+            direction = td.get("@direction")
+            if lang and direction:
+                key = f"{lang}_{direction}".lower()
+            elif lang:
+                key = lang.lower()
+            elif direction:
+                key = f"_{direction}"
+            else:
+                key = "@null"
+            lang_map.setdefault(key, term)
+        elif td.get("_has_language"):
+            lang = td.get("@language")
+            lang_map.setdefault(lang.lower() if lang else "@null", term)
+        elif td.get("_has_direction"):
+            direction = td.get("@direction")
+            lang_map.setdefault(f"_{direction}" if direction else "@none",
+                                term)
+        elif active_ctx.default_direction is not None:
+            lang_map.setdefault(default_lang_dir, term)
+            lang_map.setdefault("@none", term)
+            type_map.setdefault("@none", term)
+        else:
+            lang_map.setdefault(
+                (active_ctx.default_language or "@none").lower(), term)
+            lang_map.setdefault("@none", term)
+            type_map.setdefault("@none", term)
+    active_ctx._inverse = result
+    return result
+
+
+def select_term(active_ctx, iri, value, containers, type_language,
+                preferred_values):
+    """Term Selection (spec §4.4.2; cf. reference compact.js:1085-1145)."""
+    inv = inverse_context(active_ctx)
+    container_map = inv.get(iri, {})
+    for container in containers:
+        if container not in container_map:
+            continue
+        tl_map = container_map[container]
+        value_map = tl_map[type_language]
+        for item in preferred_values:
+            if item in value_map:
+                return value_map[item]
+    return None
+
+
+def compact_iri(active_ctx: ActiveContext, iri: Optional[str],
+                value=None, relative_to_vocab: bool = False,
+                reverse: bool = False, base=None) -> Optional[str]:
+    """IRI Compaction (spec §4.5.2; cf. reference compact.js:671-941)."""
+    if iri is None:
+        return iri
+    if is_keyword(iri):
+        return iri
+    if iri.startswith("@") :
+        return iri
+
+    if relative_to_vocab and iri in inverse_context(active_ctx):
+        # build preferred containers / type-language from value shape
+        containers = []
+        type_language = "@language"
+        type_language_value = "@null"
+
+        if isinstance(value, dict) and "@index" in value \
+                and not is_graph(value):
+            containers.extend(["@index", "@index@set"])
+        if reverse:
+            type_language = "@type"
+            type_language_value = "@reverse"
+            containers.append("@set")
+        elif is_list(value):
+            if "@index" not in value:
+                containers.append("@list")
+            lst = value["@list"]
+            common_type = None
+            common_language = "@none" if not lst else None
+            for item in lst:
+                item_language, item_type = "@none", "@none"
+                if is_value(item):
+                    if "@direction" in item:
+                        item_language = (f"{item.get('@language', '')}_"
+                                         f"{item['@direction']}").lower()
+                    elif "@language" in item:
+                        item_language = item["@language"].lower()
+                    elif "@type" in item:
+                        item_type = item["@type"]
+                    else:
+                        item_language = "@null"
+                else:
+                    item_type = "@id"
+                if common_language is None:
+                    common_language = item_language
+                elif common_language != item_language and is_value(item):
+                    common_language = "@none"
+                if common_type is None:
+                    common_type = item_type
+                elif common_type != item_type:
+                    common_type = "@none"
+                if common_language == "@none" and common_type == "@none":
+                    break
+            common_language = common_language or "@none"
+            common_type = common_type or "@none"
+            if common_type != "@none":
+                type_language = "@type"
+                type_language_value = common_type
+            else:
+                type_language_value = common_language
+        elif is_graph(value):
+            if "@index" in value:
+                containers.extend(["@graph@index", "@graph@index@set"])
+            if "@id" in value:
+                containers.extend(["@graph@id", "@graph@id@set"])
+            containers.extend(["@graph", "@graph@set", "@set"])
+            if "@index" not in value:
+                containers.extend(["@graph@index", "@graph@index@set"])
+            if "@id" not in value:
+                containers.extend(["@graph@id", "@graph@id@set"])
+            containers.extend(["@index", "@index@set"])
+            type_language = "@type"
+            type_language_value = "@id"
+        else:
+            if is_value(value):
+                if "@language" in value and "@index" not in value:
+                    containers.extend(["@language", "@language@set"])
+                    type_language_value = value["@language"].lower()
+                    if "@direction" in value:
+                        type_language_value += "_" + value["@direction"]
+                elif "@direction" in value and "@index" not in value:
+                    type_language_value = f"_{value['@direction']}"
+                elif "@type" in value:
+                    type_language = "@type"
+                    type_language_value = value["@type"]
+            else:
+                type_language = "@type"
+                type_language_value = "@id"
+                containers.extend(["@id", "@id@set", "@type", "@set@type"])
+            containers.append("@set")
+        containers.append("@none")
+        # 1.1: @index-less values can use index containers
+        if not (isinstance(value, dict) and "@index" in value):
+            containers.extend(["@index", "@index@set"])
+        if is_value(value) and len(value) == 1:
+            containers.extend(["@language", "@language@set"])
+
+        preferred = []
+        if type_language_value == "@reverse":
+            preferred.append("@reverse")
+        if type_language_value in ("@id", "@reverse") and \
+                isinstance(value, dict) and "@id" in value:
+            # prefer @vocab vs @id depending on compacted id shape
+            cid = compact_iri(active_ctx, value["@id"],
+                             relative_to_vocab=True)
+            td = active_ctx.mappings.get(cid)
+            if td is not None and td.get("@id") == value["@id"]:
+                preferred.extend(["@vocab", "@id", "@none"])
+            else:
+                preferred.extend(["@id", "@vocab", "@none"])
+        else:
+            preferred.extend([type_language_value, "@none"])
+            if is_list(value) and not value["@list"]:
+                type_language = "@any"
+        preferred.append("@any")
+        # 1.1: allow language fallback "en" for "en_dir" style keys
+        for pv in list(preferred):
+            if "_" in pv and not pv.startswith("_"):
+                preferred.append("_" + pv.split("_", 1)[1])
+        term = select_term(active_ctx, iri, value, containers,
+                           type_language, preferred)
+        if term is not None:
+            return term
+
+    if relative_to_vocab and active_ctx.vocab is not None:
+        if iri.startswith(active_ctx.vocab) and iri != active_ctx.vocab:
+            suffix = iri[len(active_ctx.vocab):]
+            if suffix not in active_ctx.mappings:
+                return suffix
+
+    # compact IRI via prefix candidates
+    candidate = None
+    for term in sorted(active_ctx.mappings.keys(), key=_shortest_least):
+        td = active_ctx.mappings[term]
+        if td is None or not td.get("_prefix"):
+            continue
+        tid = td.get("@id")
+        if not tid or not iri.startswith(tid) or iri == tid:
+            continue
+        curie = term + ":" + iri[len(tid):]
+        curie_td = active_ctx.mappings.get(curie)
+        if curie_td is not None and curie_td.get("@id") != iri:
+            continue
+        if candidate is None or _shortest_least(curie) < \
+                _shortest_least(candidate):
+            candidate = curie
+    if candidate is not None:
+        return candidate
+
+    # direct term match even without inverse hit (e.g. keyword aliases)
+    if not relative_to_vocab:
+        if active_ctx.base is not None:
+            return remove_base(active_ctx.base, iri)
+        if base is not None:
+            return remove_base(base, iri)
+    return iri
+
+
+def compact_value(active_ctx, active_property, value, options):
+    """Value Compaction (spec §4.6.2; cf. reference compact.js:954-1071)."""
+    td = active_ctx.mappings.get(active_property) or {}
+    if is_value(value):
+        type_mapping = td.get("@type")
+        language = value.get("@language")
+        direction = value.get("@direction")
+        container = td.get("@container") or []
+        preserve_index = "@index" in value and "@index" not in container
+
+        if not preserve_index:
+            if type_mapping in ("@id", "@vocab") and "@id" in value:
+                pass  # handled by node-reference path
+            if value.get("@type") == type_mapping and "@type" in value:
+                return value["@value"]
+            if (language is not None
+                    and (td.get("@language") == language
+                         if td.get("_has_language")
+                         else active_ctx.default_language == language)):
+                eff_dir = (td.get("@direction") if td.get("_has_direction")
+                           else active_ctx.default_direction)
+                if direction == eff_dir:
+                    return value["@value"]
+            if language is None and direction is not None:
+                eff_dir = (td.get("@direction") if td.get("_has_direction")
+                           else active_ctx.default_direction)
+                if direction == eff_dir and "@type" not in value:
+                    return value["@value"]
+        if (language is None and direction is None
+                and "@type" not in value and not preserve_index):
+            v = value["@value"]
+            if not isinstance(v, str):
+                return v
+            if (not td.get("_has_language")
+                    and active_ctx.default_language is None
+                    and not td.get("_has_direction")
+                    and active_ctx.default_direction is None):
+                return v
+            if td.get("_has_language") and td.get("@language") is None \
+                    and not (td.get("_has_direction")
+                             and td.get("@direction")):
+                return v
+        # keep as object, compacting keys
+        rval = {}
+        for k, v in value.items():
+            if k == "@type":
+                v = compact_iri(active_ctx, v, relative_to_vocab=True)
+            alias = compact_iri(active_ctx, k, relative_to_vocab=True)
+            rval[alias] = v
+        return rval
+
+    if is_subject_reference(value):
+        type_mapping = td.get("@type")
+        if type_mapping == "@id":
+            return compact_iri(active_ctx, value["@id"])
+        if type_mapping == "@vocab":
+            return compact_iri(active_ctx, value["@id"],
+                               relative_to_vocab=True)
+    return value
+
+
+def compact(active_ctx: ActiveContext, active_property: Optional[str],
+            element, options: dict):
+    """Compaction Algorithm (spec §6.1.2)."""
+    compact_arrays = options.get("compactArrays", True)
+
+    if isinstance(element, list):
+        result = []
+        for item in element:
+            compacted = compact(active_ctx, active_property, item, options)
+            if compacted is not None:
+                result.append(compacted)
+        td = active_ctx.mappings.get(active_property) or {}
+        container = td.get("@container") or []
+        if (compact_arrays and len(result) == 1
+                and not container
+                and active_property not in ("@graph", "@set")):
+            return result[0]
+        return result
+
+    if not isinstance(element, dict):
+        return element
+
+    td0 = active_ctx.mappings.get(active_property) or {}
+
+    # previous context reversion for non-value/non-reference objects
+    if active_ctx.previous_context is not None:
+        if not is_value(element) and not is_subject_reference(element):
+            active_ctx = active_ctx.previous_context
+
+    # property-scoped context
+    if td0.get("@context") is not None:
+        active_ctx = process_context(active_ctx, td0["@context"], options,
+                                     override_protected=True)
+        td0 = active_ctx.mappings.get(active_property) or {}
+
+    if is_value(element) or is_subject_reference(element):
+        rval = compact_value(active_ctx, active_property, element, options)
+        if not isinstance(rval, (dict, list)):
+            return rval
+        if is_value(element):
+            return rval
+
+    inside_reverse = active_property == "@reverse"
+    result: dict[str, Any] = {}
+
+    # type-scoped contexts, applied in compacted-term sorted order
+    if "@type" in element:
+        compacted_types = sorted(
+            compact_iri(active_ctx, t, relative_to_vocab=True)
+            for t in element["@type"])
+        for ct in compacted_types:
+            td = active_ctx.mappings.get(ct)
+            if td and td.get("@context") is not None:
+                active_ctx = process_context(active_ctx, td["@context"],
+                                             options, propagate=False)
+
+    for expanded_property in sorted(element.keys()):
+        expanded_value = element[expanded_property]
+
+        if expanded_property in ("@id",):
+            v = expanded_value
+            if isinstance(v, str):
+                compacted = compact_iri(active_ctx, v)
+            else:
+                compacted = v
+            alias = compact_iri(active_ctx, "@id", relative_to_vocab=True)
+            result[alias] = compacted
+            continue
+
+        if expanded_property == "@type":
+            types = expanded_value
+            if isinstance(types, str):
+                types = [types]
+            compacted = [compact_iri(active_ctx, t, relative_to_vocab=True)
+                         for t in types]
+            if len(compacted) == 1 and compact_arrays:
+                # unless @type term has @container @set
+                type_td = active_ctx.mappings.get(
+                    compact_iri(active_ctx, "@type",
+                                relative_to_vocab=True)) or {}
+                if "@set" not in (type_td.get("@container") or []):
+                    compacted = compacted[0]
+            alias = compact_iri(active_ctx, "@type", relative_to_vocab=True)
+            result[alias] = compacted
+            continue
+
+        if expanded_property == "@reverse":
+            compacted = compact(active_ctx, "@reverse", expanded_value,
+                                options)
+            if isinstance(compacted, dict):
+                for prop in list(compacted.keys()):
+                    td = active_ctx.mappings.get(prop) or {}
+                    if td.get("reverse"):
+                        value = compacted.pop(prop)
+                        container = td.get("@container") or []
+                        use_array = ("@set" in container
+                                     or not compact_arrays)
+                        add_value_compact(result, prop, value, use_array)
+                if compacted:
+                    alias = compact_iri(active_ctx, "@reverse",
+                                        relative_to_vocab=True)
+                    result[alias] = compacted
+            continue
+
+        if expanded_property == "@preserve":
+            compacted = compact(active_ctx, active_property,
+                                expanded_value, options)
+            if not (isinstance(compacted, list) and not compacted):
+                result["@preserve"] = compacted
+            continue
+
+        if expanded_property == "@index":
+            container = td0.get("@container") or []
+            if "@index" in container:
+                continue
+            alias = compact_iri(active_ctx, "@index",
+                                relative_to_vocab=True)
+            result[alias] = expanded_value
+            continue
+
+        if expanded_property in ("@value", "@language", "@direction",
+                                 "@included", "@explicit", "@embed",
+                                 "@requireAll", "@default", "@omitDefault"):
+            alias = compact_iri(active_ctx, expanded_property,
+                                relative_to_vocab=True)
+            val = expanded_value
+            if expanded_property in ("@included", "@default"):
+                val = compact(active_ctx, None, expanded_value, options)
+            result[alias] = val
+            continue
+
+        if expanded_property == "@graph":
+            # handled below via generic path with active property '@graph'
+            pass
+
+        if not isinstance(expanded_value, list):
+            expanded_value = [expanded_value]
+
+        if len(expanded_value) == 0:
+            item_active_property = compact_iri(
+                active_ctx, expanded_property, value=expanded_value,
+                relative_to_vocab=True, reverse=inside_reverse)
+            nest_result, nest_prop = _nest_target(
+                active_ctx, item_active_property, result)
+            add_value_compact(nest_result, nest_prop, [], True)
+            continue
+
+        for expanded_item in expanded_value:
+            item_active_property = compact_iri(
+                active_ctx, expanded_property, value=expanded_item,
+                relative_to_vocab=True, reverse=inside_reverse)
+            nest_result, nest_prop = _nest_target(
+                active_ctx, item_active_property, result)
+            td = active_ctx.mappings.get(item_active_property) or {}
+            container = td.get("@container") or []
+            as_array = ("@set" in container or not compact_arrays
+                        or item_active_property in ("@graph", "@list"))
+
+            inner = expanded_item
+            if is_list(expanded_item):
+                inner = expanded_item["@list"]
+            elif is_graph(expanded_item):
+                inner = expanded_item["@graph"]
+
+            compacted_item = compact(
+                active_ctx, item_active_property,
+                inner if (is_list(expanded_item) or is_graph(expanded_item))
+                else expanded_item, options)
+
+            if is_list(expanded_item):
+                if not isinstance(compacted_item, list):
+                    compacted_item = [compacted_item]
+                if "@list" not in container:
+                    alias = compact_iri(active_ctx, "@list",
+                                        relative_to_vocab=True)
+                    wrapper = {alias: compacted_item}
+                    if "@index" in expanded_item:
+                        idx_alias = compact_iri(active_ctx, "@index",
+                                                relative_to_vocab=True)
+                        wrapper[idx_alias] = expanded_item["@index"]
+                    compacted_item = wrapper
+                    add_value_compact(nest_result, nest_prop,
+                                      compacted_item, as_array)
+                else:
+                    nest_result[nest_prop] = compacted_item
+                continue
+
+            if is_graph(expanded_item):
+                if "@graph" in container and "@id" in container:
+                    map_object = nest_result.setdefault(nest_prop, {})
+                    key = expanded_item.get("@id")
+                    key = compact_iri(active_ctx, key) if key else \
+                        compact_iri(active_ctx, "@none",
+                                    relative_to_vocab=True)
+                    add_value_compact(map_object, key, compacted_item,
+                                      "@set" in container)
+                elif "@graph" in container and "@index" in container \
+                        and is_simple_graph(expanded_item):
+                    map_object = nest_result.setdefault(nest_prop, {})
+                    key = expanded_item.get("@index") or compact_iri(
+                        active_ctx, "@none", relative_to_vocab=True)
+                    add_value_compact(map_object, key, compacted_item,
+                                      "@set" in container)
+                elif "@graph" in container and \
+                        is_simple_graph(expanded_item):
+                    if isinstance(compacted_item, list) and \
+                            len(compacted_item) > 1:
+                        compacted_item = {"@included": compacted_item}
+                    add_value_compact(nest_result, nest_prop,
+                                      compacted_item, as_array)
+                else:
+                    wrapper = {}
+                    alias = compact_iri(active_ctx, "@graph",
+                                        relative_to_vocab=True)
+                    if not isinstance(compacted_item, list):
+                        compacted_item = [compacted_item] \
+                            if not compact_arrays else compacted_item
+                    wrapper[alias] = compacted_item
+                    if "@id" in expanded_item:
+                        id_alias = compact_iri(active_ctx, "@id",
+                                               relative_to_vocab=True)
+                        wrapper[id_alias] = compact_iri(
+                            active_ctx, expanded_item["@id"])
+                    if "@index" in expanded_item:
+                        idx_alias = compact_iri(active_ctx, "@index",
+                                                relative_to_vocab=True)
+                        wrapper[idx_alias] = expanded_item["@index"]
+                    add_value_compact(nest_result, nest_prop, wrapper,
+                                      as_array)
+                continue
+
+            if ("@language" in container or "@index" in container
+                    or "@id" in container or "@type" in container) \
+                    and "@graph" not in container:
+                map_object = nest_result.setdefault(nest_prop, {})
+                if "@language" in container:
+                    key = expanded_item.get("@language") if \
+                        is_value(expanded_item) else None
+                    if is_value(expanded_item) and \
+                            "@index" not in expanded_item:
+                        compacted_item = expanded_item["@value"]
+                elif "@index" in container:
+                    idx_key = td.get("@index", "@index")
+                    if idx_key == "@index":
+                        key = expanded_item.get("@index")
+                        if isinstance(compacted_item, dict):
+                            idx_alias = compact_iri(
+                                active_ctx, "@index",
+                                relative_to_vocab=True)
+                            compacted_item.pop(idx_alias, None)
+                            if len(compacted_item) == 1 and \
+                                    compact_arrays:
+                                only = next(iter(compacted_item))
+                                ek = expand_iri(active_ctx, only,
+                                                vocab_mode=True,
+                                                options=options)
+                                if ek == "@id":
+                                    compacted_item = compact(
+                                        active_ctx, item_active_property,
+                                        {"@id": expanded_item["@id"]},
+                                        options)
+                    else:
+                        # property-based index
+                        prop_iri = expand_iri(active_ctx, idx_key,
+                                              vocab_mode=True,
+                                              options=options)
+                        key = None
+                        if isinstance(compacted_item, dict):
+                            ck = compact_iri(active_ctx, prop_iri,
+                                             relative_to_vocab=True)
+                            kv = compacted_item.get(ck)
+                            if isinstance(kv, list) and kv:
+                                key = kv[0]
+                                rest = kv[1:]
+                                if rest:
+                                    compacted_item[ck] = rest \
+                                        if len(rest) > 1 else rest[0]
+                                else:
+                                    compacted_item.pop(ck, None)
+                            elif isinstance(kv, str):
+                                key = kv
+                                compacted_item.pop(ck, None)
+                elif "@id" in container:
+                    id_alias = compact_iri(active_ctx, "@id",
+                                           relative_to_vocab=True)
+                    key = None
+                    if isinstance(compacted_item, dict):
+                        key = compacted_item.pop(id_alias, None)
+                else:  # @type
+                    type_alias = compact_iri(active_ctx, "@type",
+                                             relative_to_vocab=True)
+                    key = None
+                    if isinstance(compacted_item, dict):
+                        types = compacted_item.get(type_alias)
+                        if isinstance(types, list) and types:
+                            key = types.pop(0)
+                            if len(types) == 1:
+                                compacted_item[type_alias] = types[0]
+                            elif not types:
+                                compacted_item.pop(type_alias, None)
+                        elif isinstance(types, str):
+                            key = types
+                            compacted_item.pop(type_alias, None)
+                        if (len(compacted_item) == 1
+                                and "@id" in expanded_item):
+                            only = next(iter(compacted_item))
+                            ek = expand_iri(active_ctx, only,
+                                            vocab_mode=True,
+                                            options=options)
+                            if ek == "@id":
+                                compacted_item = compact(
+                                    active_ctx, item_active_property,
+                                    {"@id": expanded_item["@id"]}, options)
+                if key is None:
+                    key = compact_iri(active_ctx, "@none",
+                                      relative_to_vocab=True)
+                add_value_compact(map_object, key, compacted_item,
+                                  "@set" in container)
+            else:
+                add_value_compact(nest_result, nest_prop, compacted_item,
+                                  as_array)
+
+    return result
+
+
+def _nest_target(active_ctx, item_active_property, result):
+    """Resolve @nest redirection (spec §6.1.2 step 12.7)."""
+    td = active_ctx.mappings.get(item_active_property) or {}
+    nest = td.get("@nest")
+    if nest is None:
+        return result, item_active_property
+    if nest != "@nest":
+        nd = active_ctx.mappings.get(nest) or {}
+        if nd.get("@id") != "@nest":
+            raise JsonLdError("@nest term must map to @nest.",
+                              "invalid @nest value")
+    nest_obj = result.setdefault(nest, {})
+    return nest_obj, item_active_property
+
+
+def add_value_compact(obj: dict, key: str, value, as_array: bool):
+    if key in obj:
+        existing = obj[key]
+        if not isinstance(existing, list):
+            existing = [existing]
+            obj[key] = existing
+        if isinstance(value, list):
+            existing.extend(value)
+        else:
+            existing.append(value)
+    else:
+        if as_array and not isinstance(value, list):
+            value = [value]
+        obj[key] = value
+
+
+def compact_document(expanded, ctx, options: dict, from_flatten=False):
+    """Top-level compact API (cf. reference jsonld.js:131-248)."""
+    from .context import initial_context
+    active_ctx = initial_context(options)
+    ctx_value = ctx
+    if isinstance(ctx, dict) and "@context" in ctx:
+        ctx_value = ctx["@context"]
+    if ctx_value is not None:
+        active_ctx = process_context(active_ctx, ctx_value, options)
+
+    compacted = compact(active_ctx, None, expanded, options)
+
+    # top-level array → wrap in @graph
+    if isinstance(compacted, list):
+        if len(compacted) == 0:
+            compacted = {}
+        elif len(compacted) == 1 and options.get("compactArrays", True) \
+                and not from_flatten:
+            compacted = compacted[0]
+        else:
+            alias = compact_iri(active_ctx, "@graph",
+                                relative_to_vocab=True)
+            compacted = {alias: compacted}
+    if ctx_value is not None and (
+            not isinstance(ctx_value, (dict, list)) or len(ctx_value) > 0):
+        if isinstance(compacted, dict):
+            compacted = {"@context": ctx_value, **compacted}
+    return compacted

@@ -1,0 +1,693 @@
+"""Active-context processing, term definitions, and IRI expansion.
+
+Implements the JSON-LD 1.1 Context Processing and IRI Expansion algorithms
+(W3C JSON-LD 1.1 Processing Algorithms and API §4.1–§4.3), written from the
+public spec. Behavioral parity target: /root/reference/lib/context.js
+(term definitions :300-1030, _expandIri :1033-1197, initial context
+:1207-1231). Not a translation — a fresh implementation structured for
+per-worker caching inside Ray actors (see stages/expand_quads.py).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Optional
+
+from .errors import JsonLdError
+from .keywords import (
+    KEYWORDS, is_absolute_iri, is_keyword, is_keyword_like,
+)
+from .url import prepend_base
+
+# event codes that `safe` mode turns into errors (cf. reference
+# lib/events.js:103-142)
+SAFE_EVENT_CODES = frozenset({
+    "empty object", "free-floating scalar", "invalid @language value",
+    "invalid property", "null @id value", "null @value value",
+    "object with only @id", "object with only @language", "object with only @list",
+    "object with only @value", "relative @id reference", "relative @type reference",
+    "relative @vocab reference", "reserved @id value", "reserved term",
+    "blank node predicate", "relative graph reference", "relative object reference",
+    "relative predicate reference", "relative subject reference",
+})
+
+
+def emit_event(options: dict, code: str, message: str, level: str = "warning"):
+    """Record a processing event; in safe mode listed codes become errors.
+
+    Events accumulate in ``options['_events']`` so pipeline stages can emit
+    them as a side-output column (SURVEY.md §2.9)."""
+    if options.get("safe") and code in SAFE_EVENT_CODES:
+        raise JsonLdError(message, "invalid JSON-LD syntax",
+                          {"event_code": code})
+    options.setdefault("_events", []).append(
+        {"code": code, "level": level, "message": message})
+
+
+class ActiveContext:
+    __slots__ = ("mappings", "base", "original_base", "vocab",
+                 "default_language", "default_direction", "processing_mode",
+                 "previous_context", "_inverse", "_uuid")
+
+    _counter = 0
+
+    def __init__(self, base=None, processing_mode="json-ld-1.1"):
+        self.mappings: dict[str, dict] = {}
+        self.base = base
+        self.original_base = base
+        self.vocab: Optional[str] = None
+        self.default_language: Optional[str] = None
+        self.default_direction: Optional[str] = None
+        self.processing_mode = processing_mode
+        self.previous_context: Optional["ActiveContext"] = None
+        self._inverse = None
+        ActiveContext._counter += 1
+        self._uuid = ActiveContext._counter
+
+    def clone(self) -> "ActiveContext":
+        c = ActiveContext(self.base, self.processing_mode)
+        c.original_base = self.original_base
+        c.mappings = dict(self.mappings)
+        c.vocab = self.vocab
+        c.default_language = self.default_language
+        c.default_direction = self.default_direction
+        c.previous_context = self.previous_context
+        return c
+
+    def get_mapping(self, term):
+        return self.mappings.get(term)
+
+    def has_protected_terms(self) -> bool:
+        return any(m.get("protected") for m in self.mappings.values())
+
+    def fingerprint(self) -> str:
+        """Stable key for processed-context caching (cf. reference
+        ResolvedContext per-active-context cache, lib/ResolvedContext.js:8-30).
+        """
+        return f"ctx:{self._uuid}"
+
+
+def initial_context(options: dict) -> ActiveContext:
+    return ActiveContext(base=options.get("base"),
+                         processing_mode=options.get(
+                             "processingMode", "json-ld-1.1"))
+
+
+def _ctx_1_1(active_ctx) -> bool:
+    return active_ctx.processing_mode != "json-ld-1.0"
+
+
+# ---------------------------------------------------------------------------
+# Context processing (spec §4.1.2)
+# ---------------------------------------------------------------------------
+
+def process_context(active_ctx: ActiveContext, local_ctx, options: dict,
+                    override_protected: bool = False,
+                    propagate: bool = True,
+                    validate_scoped: bool = True,
+                    remote_contexts: Optional[list] = None) -> ActiveContext:
+    if remote_contexts is None:
+        remote_contexts = []
+    if local_ctx is None:
+        # null wipes the context (checked again below for protected terms)
+        pass
+
+    ctxs = local_ctx if isinstance(local_ctx, list) else [local_ctx]
+    result = active_ctx
+
+    # 2) @propagate override from an object member
+    if (len(ctxs) == 1 and isinstance(ctxs[0], dict)
+            and "@propagate" in ctxs[0]):
+        propagate = ctxs[0]["@propagate"]
+
+    if not propagate and result.previous_context is None:
+        result = result.clone()
+        result.previous_context = active_ctx
+
+    for ctx in ctxs:
+        if ctx is None:
+            # 5.1: null context → reset to initial (keep base)
+            if (not override_protected and result.has_protected_terms()):
+                raise JsonLdError(
+                    "Tried to nullify a context with protected term "
+                    "definitions.", "invalid context nullification")
+            prev = result if not propagate else None
+            result = ActiveContext(
+                base=active_ctx.original_base,
+                processing_mode=active_ctx.processing_mode)
+            result.original_base = active_ctx.original_base
+            if prev is not None:
+                result.previous_context = prev
+            continue
+
+        if isinstance(ctx, str):
+            # remote context
+            resolver = options.get("context_resolver")
+            base_iri = options.get("_context_base", options.get("base"))
+            url = prepend_base(base_iri, ctx)
+            if url in remote_contexts:
+                raise JsonLdError(
+                    f"Cyclical @context URLs detected: {url}",
+                    "recursive context inclusion")
+            if len(remote_contexts) >= 10:
+                raise JsonLdError(
+                    "Maximum number of @context URLs exceeded.",
+                    "loading remote context failed")
+            if resolver is None:
+                raise JsonLdError(
+                    f"No context resolver configured; cannot dereference "
+                    f"remote context {url!r}.", "loading remote context failed")
+            # processed-context cache: (url, active fingerprint)
+            cache_key = (url, result.fingerprint(), override_protected,
+                         propagate)
+            cached = resolver.get_processed(cache_key)
+            if cached is not None:
+                result = cached
+                continue
+            remote_doc = resolver.resolve(url)
+            loaded_ctx = remote_doc["context"]
+            inner_opts = dict(options)
+            inner_opts["_context_base"] = remote_doc.get("documentUrl", url)
+            processed = process_context(
+                result, loaded_ctx, inner_opts,
+                override_protected=override_protected,
+                propagate=propagate,
+                validate_scoped=validate_scoped,
+                remote_contexts=remote_contexts + [url])
+            resolver.put_processed(cache_key, processed)
+            result = processed
+            continue
+
+        if not isinstance(ctx, dict):
+            raise JsonLdError(
+                "@context must be an object.", "invalid local context")
+
+        result = result.clone()
+        result._inverse = None
+
+        # @version
+        if "@version" in ctx:
+            v = ctx["@version"]
+            if v != 1.1:
+                raise JsonLdError(
+                    "Unsupported JSON-LD version: " + str(v),
+                    "invalid @version value")
+            if options.get("processingMode") == "json-ld-1.0":
+                raise JsonLdError(
+                    "@version not supported in JSON-LD 1.0 mode",
+                    "processing mode conflict")
+            result.processing_mode = "json-ld-1.1"
+
+        # @import (1.1)
+        if "@import" in ctx:
+            imp = ctx["@import"]
+            if not _ctx_1_1(result):
+                raise JsonLdError("@import requires JSON-LD 1.1.",
+                                  "invalid context entry")
+            if not isinstance(imp, str):
+                raise JsonLdError("@import must be a string.",
+                                  "invalid @import value")
+            resolver = options.get("context_resolver")
+            if resolver is None:
+                raise JsonLdError("No context resolver for @import.",
+                                  "loading remote context failed")
+            url = prepend_base(
+                options.get("_context_base", options.get("base")), imp)
+            imported = resolver.resolve(url)["context"]
+            if not isinstance(imported, dict):
+                raise JsonLdError(
+                    "@import must reference a context object.",
+                    "invalid remote context")
+            if "@import" in imported:
+                raise JsonLdError(
+                    "imported context must not include @import.",
+                    "invalid context entry")
+            merged = dict(imported)
+            merged.update(ctx)
+            ctx = merged
+
+        # @base — only honored in non-remote (top-level) contexts per spec;
+        # we honor it whenever present (the reference does the same for
+        # embedded contexts)
+        if "@base" in ctx:
+            base = ctx["@base"]
+            if base is None:
+                result.base = None
+            elif not isinstance(base, str):
+                raise JsonLdError(
+                    "@base must be a string or null.", "invalid base IRI")
+            elif base == "":
+                result.base = result.base
+            elif is_absolute_iri(base):
+                result.base = base
+            else:
+                if result.base is None:
+                    raise JsonLdError(
+                        "Relative @base with no active base IRI.",
+                        "invalid base IRI")
+                result.base = prepend_base(result.base, base)
+
+        # @vocab
+        if "@vocab" in ctx:
+            vocab = ctx["@vocab"]
+            if vocab is None:
+                result.vocab = None
+            elif not isinstance(vocab, str):
+                raise JsonLdError("@vocab must be a string or null.",
+                                  "invalid vocab mapping")
+            elif vocab.startswith("_:") and not _ctx_1_1(result):
+                raise JsonLdError(
+                    "blank-node @vocab requires JSON-LD 1.1.",
+                    "invalid vocab mapping")
+            else:
+                expanded = expand_iri(
+                    result, vocab, vocab_mode=True, base_mode=True,
+                    options=options)
+                if expanded is None or (not is_absolute_iri(expanded)
+                                        and not _ctx_1_1(result)):
+                    raise JsonLdError(
+                        "@vocab must be an absolute IRI.",
+                        "invalid vocab mapping")
+                if expanded is not None and not is_absolute_iri(expanded):
+                    emit_event(options, "relative @vocab reference",
+                               f"Relative @vocab reference: {vocab!r}")
+                result.vocab = expanded
+
+        # @language
+        if "@language" in ctx:
+            lang = ctx["@language"]
+            if lang is None:
+                result.default_language = None
+            elif not isinstance(lang, str):
+                raise JsonLdError("@language must be a string or null.",
+                                  "invalid default language")
+            else:
+                result.default_language = lang.lower()
+
+        # @direction
+        if "@direction" in ctx:
+            if not _ctx_1_1(result):
+                raise JsonLdError("@direction requires JSON-LD 1.1.",
+                                  "invalid context entry")
+            direction = ctx["@direction"]
+            if direction is None:
+                result.default_direction = None
+            elif direction not in ("ltr", "rtl"):
+                raise JsonLdError('@direction must be "ltr" or "rtl".',
+                                  "invalid base direction")
+            else:
+                result.default_direction = direction
+
+        if "@propagate" in ctx:
+            if not _ctx_1_1(result):
+                raise JsonLdError("@propagate requires JSON-LD 1.1.",
+                                  "invalid context entry")
+            if not isinstance(ctx["@propagate"], bool):
+                raise JsonLdError("@propagate must be boolean.",
+                                  "invalid @propagate value")
+
+        protected_default = ctx.get("@protected", False)
+
+        defined: dict[str, bool] = {}
+        for term in ctx.keys():
+            if term in ("@base", "@vocab", "@language", "@direction",
+                        "@version", "@protected", "@propagate", "@import"):
+                continue
+            create_term_definition(
+                result, ctx, term, defined, options,
+                protected=protected_default,
+                override_protected=override_protected,
+                validate_scoped=validate_scoped,
+                remote_contexts=remote_contexts)
+
+        # scoped contexts inside term definitions validated lazily on use
+    return result
+
+
+# container value validation sets
+_CONTAINER_COMBOS_11 = [
+    {"@list"}, {"@set"}, {"@index"}, {"@index", "@set"},
+    {"@language"}, {"@language", "@set"}, {"@graph"},
+    {"@graph", "@id"}, {"@graph", "@index"},
+    {"@graph", "@id", "@set"}, {"@graph", "@index", "@set"},
+    {"@graph", "@set"}, {"@id"}, {"@id", "@set"},
+    {"@type"}, {"@type", "@set"},
+]
+
+
+def create_term_definition(active_ctx: ActiveContext, local_ctx: dict,
+                           term: str, defined: dict, options: dict,
+                           protected: bool = False,
+                           override_protected: bool = False,
+                           validate_scoped: bool = True,
+                           remote_contexts: Optional[list] = None):
+    """Create Term Definition algorithm (spec §4.2.2)."""
+    if term in defined:
+        if defined[term]:
+            return
+        raise JsonLdError(
+            f"Cyclical context definition detected for term {term!r}.",
+            "cyclic IRI mapping")
+    defined[term] = False
+
+    value = local_ctx[term]
+
+    if term == "@type":
+        # 1.1 allows redefining @type with @container:@set / @protected
+        if not _ctx_1_1(active_ctx):
+            raise JsonLdError("Keywords cannot be overridden.",
+                              "keyword redefinition")
+        if not isinstance(value, dict):
+            raise JsonLdError("Invalid @type redefinition.",
+                              "keyword redefinition")
+        for k, v in value.items():
+            if k == "@container" and v == "@set":
+                continue
+            if k == "@protected":
+                continue
+            raise JsonLdError("Invalid @type redefinition.",
+                              "keyword redefinition")
+    elif is_keyword(term):
+        raise JsonLdError(f"Keywords cannot be overridden: {term!r}",
+                          "keyword redefinition")
+    elif is_keyword_like(term):
+        emit_event(options, "reserved term",
+                   f"Terms beginning with '@' are reserved: {term!r}")
+        defined[term] = True
+        return
+    elif term == "":
+        raise JsonLdError("A term cannot be an empty string.",
+                          "invalid term definition")
+
+    prev_mapping = active_ctx.mappings.get(term)
+    if term in active_ctx.mappings:
+        del active_ctx.mappings[term]
+
+    simple_term = False
+    if value is None:
+        value = {"@id": None}
+    elif isinstance(value, str):
+        simple_term = True
+        value = {"@id": value}
+    elif not isinstance(value, dict):
+        raise JsonLdError(
+            "Term definition must be null, a string, or an object.",
+            "invalid term definition")
+
+    mapping: dict[str, Any] = {"reverse": False, "protected": protected,
+                               "_prefix": False,
+                               "_term_has_colon": ":" in term[1:]}
+
+    if "@protected" in value:
+        if not _ctx_1_1(active_ctx):
+            raise JsonLdError("@protected requires JSON-LD 1.1.",
+                              "invalid term definition")
+        mapping["protected"] = value["@protected"]
+
+    if "@reverse" in value:
+        if "@id" in value:
+            raise JsonLdError("@reverse term cannot contain @id.",
+                              "invalid reverse property")
+        if "@nest" in value:
+            raise JsonLdError("@reverse term cannot contain @nest.",
+                              "invalid reverse property")
+        rev = value["@reverse"]
+        if not isinstance(rev, str):
+            raise JsonLdError("@reverse value must be a string.",
+                              "invalid IRI mapping")
+        if is_keyword_like(rev):
+            emit_event(options, "reserved @reverse value",
+                       f"@reverse values beginning with '@' are reserved: "
+                       f"{rev!r}")
+            if prev_mapping is not None:
+                active_ctx.mappings[term] = prev_mapping
+            defined[term] = True
+            return
+        iri = expand_iri(active_ctx, rev, vocab_mode=True,
+                        local_ctx=local_ctx, defined=defined, options=options)
+        if iri is None or not (is_absolute_iri(iri) or iri.startswith("_:")):
+            raise JsonLdError("@reverse must expand to an absolute IRI.",
+                              "invalid IRI mapping")
+        mapping["@id"] = iri
+        mapping["reverse"] = True
+        if "@container" in value:
+            c = value["@container"]
+            if c not in ("@set", "@index", None):
+                raise JsonLdError(
+                    "reverse term @container must be @set or @index.",
+                    "invalid reverse property")
+            if c is not None:
+                mapping["@container"] = [c]
+    elif "@id" in value:
+        idv = value["@id"]
+        if idv is None:
+            mapping["@id"] = None
+        elif not isinstance(idv, str):
+            raise JsonLdError("@id mapping must be a string.",
+                              "invalid IRI mapping")
+        elif idv != term:
+            if not is_keyword(idv) and is_keyword_like(idv):
+                emit_event(options, "reserved @id value",
+                           f"@id values beginning with '@' are reserved: "
+                           f"{idv!r}")
+                if prev_mapping is not None:
+                    active_ctx.mappings[term] = prev_mapping
+                defined[term] = True
+                return
+            if idv == "@type":
+                mapping["@id"] = "@type"
+            elif is_keyword(idv):
+                mapping["@id"] = idv
+            else:
+                iri = expand_iri(active_ctx, idv, vocab_mode=True,
+                                local_ctx=local_ctx, defined=defined,
+                                options=options)
+                if iri is None or not (is_absolute_iri(iri)
+                                       or iri.startswith("_:")
+                                       or is_keyword(iri)):
+                    raise JsonLdError(
+                        f"@id mapping for {term!r} must expand to an IRI, "
+                        "blank node, or keyword.", "invalid IRI mapping")
+                mapping["@id"] = iri
+                # simple term ending in a gen-delim char may be a prefix
+                if (simple_term and
+                        (iri[-1] in ":/?#[]@" or iri.startswith("_:"))):
+                    mapping["_prefix"] = True
+                elif not simple_term:
+                    mapping["_prefix"] = bool(value.get("@prefix", False))
+
+    if "@id" not in mapping:
+        # derive from compact-IRI term or @vocab
+        if ":" in term[1:]:
+            prefix, _, suffix = term.partition(":")
+            if prefix in local_ctx:
+                create_term_definition(active_ctx, local_ctx, prefix,
+                                       defined, options,
+                                       override_protected=override_protected,
+                                       validate_scoped=validate_scoped,
+                                       remote_contexts=remote_contexts)
+            pm = active_ctx.mappings.get(prefix)
+            if pm is not None and pm.get("@id") is not None:
+                mapping["@id"] = pm["@id"] + suffix
+            else:
+                mapping["@id"] = term
+        elif term.startswith("/"):
+            raise JsonLdError("Term must not begin with '/'.",
+                              "invalid term definition")
+        elif term == "@type":
+            mapping["@id"] = "@type"
+        else:
+            if active_ctx.vocab is None:
+                raise JsonLdError(
+                    f"Term {term!r} has no IRI mapping and no @vocab is "
+                    "set.", "invalid IRI mapping")
+            mapping["@id"] = active_ctx.vocab + term
+
+    if "@type" in value:
+        t = value["@type"]
+        if not isinstance(t, str):
+            raise JsonLdError("@type mapping must be a string.",
+                              "invalid type mapping")
+        if t in ("@json", "@none"):
+            if not _ctx_1_1(active_ctx):
+                raise JsonLdError(f"{t} type mapping requires JSON-LD 1.1.",
+                                  "invalid type mapping")
+        elif t not in ("@id", "@vocab"):
+            t = expand_iri(active_ctx, t, vocab_mode=True,
+                          local_ctx=local_ctx, defined=defined,
+                          options=options)
+            if t is None or not is_absolute_iri(t):
+                raise JsonLdError("@type mapping must expand to an IRI.",
+                                  "invalid type mapping")
+            if t.startswith("_:"):
+                raise JsonLdError(
+                    "@type mapping must not be a blank node.",
+                    "invalid type mapping")
+        mapping["@type"] = t
+
+    if "@container" in value:
+        c = value["@container"]
+        container = c if isinstance(c, list) else [c]
+        cset = set(container)
+        if not _ctx_1_1(active_ctx):
+            if (len(container) != 1 or container[0] not in
+                    ("@list", "@set", "@index", "@language")):
+                raise JsonLdError(
+                    "Invalid @container in JSON-LD 1.0 mode.",
+                    "invalid container mapping")
+        else:
+            if cset not in _CONTAINER_COMBOS_11:
+                raise JsonLdError(
+                    f"Invalid @container value for term {term!r}: {c!r}",
+                    "invalid container mapping")
+        if mapping["reverse"] and not cset <= {"@index", "@set"}:
+            raise JsonLdError(
+                "reverse term @container must be @index or @set.",
+                "invalid reverse property")
+        mapping["@container"] = container
+        if "@type" in mapping:
+            if "@type" in cset and mapping["@type"] not in ("@id", "@vocab"):
+                raise JsonLdError(
+                    "@container:@type requires @type of @id or @vocab.",
+                    "invalid type mapping")
+    else:
+        mapping["@container"] = []
+
+    if "@index" in value:
+        if "@container" not in value or "@index" not in mapping["@container"]:
+            raise JsonLdError(
+                "@index requires @container:@index.",
+                "invalid term definition")
+        idx = value["@index"]
+        if not isinstance(idx, str) or idx.startswith("@"):
+            raise JsonLdError("@index must be a non-keyword string.",
+                              "invalid term definition")
+        exp = expand_iri(active_ctx, idx, vocab_mode=True, options=options)
+        if exp is None or not is_absolute_iri(exp):
+            raise JsonLdError("@index must expand to an IRI.",
+                              "invalid term definition")
+        mapping["@index"] = idx
+
+    if "@context" in value:
+        if not _ctx_1_1(active_ctx):
+            raise JsonLdError("scoped contexts require JSON-LD 1.1.",
+                              "invalid term definition")
+        mapping["@context"] = value["@context"]
+
+    if "@language" in value and "@type" not in value:
+        lang = value["@language"]
+        if lang is not None and not isinstance(lang, str):
+            raise JsonLdError("@language must be a string or null.",
+                              "invalid language mapping")
+        mapping["@language"] = lang.lower() if isinstance(lang, str) else None
+        mapping["_has_language"] = True
+
+    if "@direction" in value and "@type" not in value:
+        d = value["@direction"]
+        if d is not None and d not in ("ltr", "rtl"):
+            raise JsonLdError('@direction must be "ltr", "rtl", or null.',
+                              "invalid base direction")
+        mapping["@direction"] = d
+        mapping["_has_direction"] = True
+
+    if "@prefix" in value:
+        if ":" in term[1:] or "/" in term:
+            raise JsonLdError("@prefix used on a compact IRI term.",
+                              "invalid term definition")
+        if not isinstance(value["@prefix"], bool):
+            raise JsonLdError("@prefix must be boolean.",
+                              "invalid @prefix value")
+        if is_keyword(mapping.get("@id")):
+            raise JsonLdError("Keyword mappings cannot be prefixes.",
+                              "invalid term definition")
+        mapping["_prefix"] = value["@prefix"]
+
+    if "@nest" in value:
+        nest = value["@nest"]
+        if (not isinstance(nest, str)
+                or (nest != "@nest" and nest.startswith("@"))):
+            raise JsonLdError(
+                '@nest must be "@nest" or a term mapping to "@nest".',
+                "invalid @nest value")
+        mapping["@nest"] = nest
+
+    # unknown entries
+    for k in value:
+        if k not in ("@id", "@reverse", "@type", "@container", "@language",
+                     "@direction", "@context", "@prefix", "@nest", "@index",
+                     "@protected"):
+            raise JsonLdError(
+                f"Invalid term definition entry {k!r} for term {term!r}.",
+                "invalid term definition")
+
+    # protected redefinition check
+    if (prev_mapping is not None and prev_mapping.get("protected")
+            and not override_protected):
+        cmp_prev = {k: v for k, v in prev_mapping.items()
+                    if k != "protected"}
+        cmp_new = {k: v for k, v in mapping.items() if k != "protected"}
+        if cmp_prev != cmp_new:
+            raise JsonLdError(
+                f"Tried to redefine protected term {term!r}.",
+                "protected term redefinition")
+        mapping = prev_mapping
+
+    active_ctx.mappings[term] = mapping
+    defined[term] = True
+
+
+# ---------------------------------------------------------------------------
+# IRI expansion (spec §4.2.3; cf. reference context.js:1033-1197)
+# ---------------------------------------------------------------------------
+
+def expand_iri(active_ctx: ActiveContext, value, *,
+               vocab_mode: bool = False, base_mode: bool = False,
+               local_ctx: Optional[dict] = None,
+               defined: Optional[dict] = None,
+               options: Optional[dict] = None):
+    options = options or {}
+    if value is None or is_keyword(value):
+        return value
+    if not isinstance(value, str):
+        return value
+
+    # keyword-lookalike terms are dropped with a warning
+    if is_keyword_like(value):
+        emit_event(options, "reserved term",
+                   f"Terms beginning with '@' are reserved: {value!r}")
+        return None
+
+    # define term if in local context being processed
+    if (local_ctx is not None and value in local_ctx
+            and defined is not None and not defined.get(value)):
+        create_term_definition(active_ctx, local_ctx, value, defined, options)
+
+    if vocab_mode:
+        m = active_ctx.mappings.get(value)
+        if m is not None:
+            return m["@id"]
+
+    if ":" in value[1:]:
+        prefix, _, suffix = value.partition(":")
+        # already absolute or blank node
+        if prefix == "_":
+            return value
+        if suffix.startswith("//"):
+            return value  # IRI with authority — not a compact IRI
+        if (local_ctx is not None and prefix in local_ctx
+                and defined is not None and not defined.get(prefix)):
+            create_term_definition(active_ctx, local_ctx, prefix, defined,
+                                   options)
+        pm = active_ctx.mappings.get(prefix)
+        if pm is not None and pm.get("@id") is not None and pm.get("_prefix"):
+            return pm["@id"] + suffix
+        if is_absolute_iri(value):
+            return value
+
+    if vocab_mode and active_ctx.vocab is not None:
+        return active_ctx.vocab + value
+    if base_mode:
+        if active_ctx.base is not None:
+            return prepend_base(active_ctx.base, value)
+        return value
+    return value

@@ -1,0 +1,676 @@
+"""JSON-LD 1.1 Expansion.
+
+Implements the Expansion Algorithm and Value Expansion (W3C JSON-LD 1.1
+Processing Algorithms and API §5.1–§5.3) from the public spec. Behavioral
+parity target: /root/reference/lib/expand.js (:69-385 main walk,
+:452-1040 object expansion, :1053-1129 value expansion, :1141-1281
+language/index maps). Fresh implementation — per-document pure function
+suitable for `map_batches` over Arrow batches.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from .context import (
+    ActiveContext, emit_event, expand_iri, process_context,
+)
+from .errors import JsonLdError
+from .keywords import (
+    BCP47_RE, is_absolute_iri, is_graph, is_keyword, is_keyword_like,
+    is_list, is_scalar, is_value,
+)
+
+_FRAME_KEYWORDS = {"@default", "@embed", "@explicit", "@omitDefault",
+                   "@requireAll"}
+
+
+def expand(active_ctx: ActiveContext, active_property: Optional[str],
+           element, options: dict, inside_list: bool = False,
+           from_map: bool = False) -> Any:
+    """Expansion Algorithm (spec §5.1.2)."""
+    if element is None:
+        return None
+
+    frame_expansion = options.get("isFrame", False)
+    if active_property == "@default":
+        frame_expansion = False
+        options = dict(options)
+        options["isFrame"] = False
+
+    term_def = (active_ctx.mappings.get(active_property)
+                if active_property else None)
+    property_scoped_ctx = term_def.get("@context") if term_def else None
+
+    # --- scalars -----------------------------------------------------------
+    if is_scalar(element):
+        if active_property is None or active_property == "@graph":
+            emit_event(options, "free-floating scalar",
+                       "Dropping free-floating scalar during expansion.")
+            return None
+        if property_scoped_ctx is not None:
+            active_ctx = process_context(active_ctx, property_scoped_ctx,
+                                         options)
+        return _expand_value(active_ctx, active_property, element, options)
+
+    # --- arrays ------------------------------------------------------------
+    if isinstance(element, list):
+        rval = []
+        container = (term_def or {}).get("@container", [])
+        inside_list = inside_list or "@list" in container
+        for item in element:
+            expanded = expand(active_ctx, active_property, item, options,
+                              inside_list=False)
+            if inside_list and isinstance(expanded, list):
+                expanded = {"@list": expanded}
+            if expanded is None:
+                continue
+            if isinstance(expanded, list):
+                rval.extend(expanded)
+            else:
+                rval.append(expanded)
+        return rval
+
+    if not isinstance(element, dict):
+        return None
+
+    # --- maps --------------------------------------------------------------
+    # 7) revert type-scoped context unless value of an id/index map entry or
+    #    a value object / lone @id reference
+    if active_ctx.previous_context is not None and not from_map:
+        expanded_keys = [
+            expand_iri(active_ctx, k, vocab_mode=True, options=options)
+            for k in element.keys()]
+        is_value_obj = "@value" in expanded_keys
+        is_lone_id = len(element) == 1 and expanded_keys == ["@id"]
+        if not is_value_obj and not is_lone_id:
+            active_ctx = active_ctx.previous_context
+
+    # 8) property-scoped context (override protected)
+    if property_scoped_ctx is not None:
+        active_ctx = process_context(
+            active_ctx, property_scoped_ctx, options,
+            override_protected=True)
+
+    # 9) local @context
+    if "@context" in element:
+        active_ctx = process_context(active_ctx, element["@context"], options)
+
+    # 10/11) type-scoped contexts
+    type_scoped_ctx = active_ctx
+    type_key = None
+    for key in sorted(element.keys()):
+        if expand_iri(type_scoped_ctx, key, vocab_mode=True,
+                      options=options) == "@type":
+            if type_key is None:
+                type_key = key
+            values = element[key]
+            values = values if isinstance(values, list) else [values]
+            for t in sorted(v for v in values if isinstance(v, str)):
+                tdef = type_scoped_ctx.mappings.get(t)
+                if tdef and tdef.get("@context") is not None:
+                    active_ctx = process_context(
+                        active_ctx, tdef["@context"], options,
+                        propagate=False)
+
+    # 12) input type (for @json detection)
+    input_type = None
+    if type_key is not None:
+        tv = element[type_key]
+        tv_list = tv if isinstance(tv, list) else [tv]
+        if tv_list:
+            last = tv_list[-1]
+            if isinstance(last, str):
+                input_type = expand_iri(active_ctx, last, vocab_mode=True,
+                                        options=options)
+
+    result: dict[str, Any] = {}
+    nests: list[str] = []
+    _expand_object(active_ctx, active_property, element, result, nests,
+                   options, input_type, type_scoped_ctx, frame_expansion)
+
+    # 14) nests
+    while nests:
+        nest_key = nests.pop(0)
+        nested_values = element[nest_key]
+        if not isinstance(nested_values, list):
+            nested_values = [nested_values]
+        for nv in nested_values:
+            if not isinstance(nv, dict):
+                raise JsonLdError("@nest value must be a node object.",
+                                  "invalid @nest value")
+            for k in nv.keys():
+                if expand_iri(active_ctx, k, vocab_mode=True,
+                              options=options) == "@value":
+                    raise JsonLdError("@nest value must not be a value "
+                                      "object.", "invalid @nest value")
+            sub_nests: list[str] = []
+            _expand_object(active_ctx, active_property, nv, result,
+                           sub_nests, options, input_type, type_scoped_ctx,
+                           frame_expansion)
+            # note: nested nests handled by appending
+            nests.extend(sub_nests)
+
+    # 15+) post-processing
+    return _post_process(active_ctx, active_property, element, result,
+                         options, frame_expansion, inside_list)
+
+
+def _post_process(active_ctx, active_property, element, result, options,
+                  frame_expansion, inside_list):
+    keys = set(result.keys())
+
+    if "@value" in result:
+        allowed = {"@value", "@language", "@direction", "@type", "@index"}
+        if not keys <= allowed:
+            raise JsonLdError(
+                "value object has disallowed entries: "
+                f"{sorted(keys - allowed)}", "invalid value object")
+        if "@language" in result and "@type" in result and \
+                result.get("@type") != "@json":
+            raise JsonLdError(
+                "value object must not have both @type and @language.",
+                "invalid value object")
+        value = result["@value"]
+        if result.get("@type") == "@json":
+            pass  # any JSON value is fine
+        elif value is None or (isinstance(value, list) and not value):
+            emit_event(options, "null @value value",
+                       "Dropping null @value object.")
+            return None
+        elif (not isinstance(value, str) and "@language" in result
+              and not frame_expansion):
+            raise JsonLdError(
+                "@language used on a non-string @value.",
+                "invalid language-tagged value")
+        elif "@type" in result and result["@type"] != "@json":
+            t = result["@type"]
+            ok = (isinstance(t, str) and is_absolute_iri(t)
+                  and not t.startswith("_:"))
+            if frame_expansion:
+                ts = t if isinstance(t, list) else [t]
+                ok = all(isinstance(x, str) and (is_absolute_iri(x))
+                         for x in ts) or (isinstance(t, dict) and not t)
+            if not ok:
+                raise JsonLdError("invalid @type in value object.",
+                                  "invalid typed value")
+        return_val = result
+    elif "@type" in result and not isinstance(result["@type"], list):
+        result["@type"] = [result["@type"]]
+        return_val = result
+    elif "@set" in result or "@list" in result:
+        extra = keys - {"@set", "@list", "@index"}
+        if extra:
+            raise JsonLdError(
+                "set/list object has disallowed entries.",
+                "invalid set or list object")
+        if "@set" in result:
+            set_val = result["@set"]
+            if "@index" in result and len(keys) > 1:
+                # @set plus @index: keep as object minus @set promotion only
+                # when no other entries; the spec promotes @set regardless
+                pass
+            return set_val
+        return_val = result
+    else:
+        return_val = result
+
+    if isinstance(return_val, dict):
+        if (len(return_val) == 1 and "@language" in return_val):
+            emit_event(options, "object with only @language",
+                       "Dropping object with only @language.")
+            return None
+        if active_property is None or active_property == "@graph":
+            if len(return_val) == 0 and not frame_expansion:
+                emit_event(options, "empty object",
+                           "Dropping empty object.")
+                return None
+            if (("@value" in return_val or "@list" in return_val)
+                    and not frame_expansion):
+                emit_event(options, "free-floating value",
+                           "Dropping free-floating value/list object.")
+                return None
+            if (len(return_val) == 1 and "@id" in return_val
+                    and not frame_expansion
+                    and not options.get("keepFreeFloatingNodes")):
+                emit_event(options, "object with only @id",
+                           "Dropping node with only @id.")
+                return None
+    return return_val
+
+
+def _expand_object(active_ctx, active_property, element, result, nests,
+                   options, input_type, type_scoped_ctx, frame_expansion):
+    """Inner key loop of the Expansion Algorithm (spec §5.1.2 step 13;
+    cf. reference _expandObject expand.js:452-1040)."""
+    for key in sorted(element.keys()):
+        if key == "@context":
+            continue
+        value = element[key]
+        expanded_property = expand_iri(active_ctx, key, vocab_mode=True,
+                                       options=options)
+        if expanded_property is None or not (
+                ":" in expanded_property or is_keyword(expanded_property)):
+            emit_event(options, "invalid property",
+                       f"Dropping property {key!r} that expands to "
+                       f"{expanded_property!r}.")
+            continue
+
+        if is_keyword(expanded_property):
+            if active_property == "@reverse":
+                raise JsonLdError(
+                    "Keywords cannot be used in a reverse property map.",
+                    "invalid reverse property map")
+            if (expanded_property in result
+                    and expanded_property not in ("@included", "@type")):
+                raise JsonLdError(
+                    f"Colliding keyword {expanded_property!r}.",
+                    "colliding keywords")
+
+        # ---- keyword handling -------------------------------------------
+        if expanded_property == "@id":
+            if isinstance(value, str):
+                if is_keyword_like(value) and not is_keyword(value):
+                    emit_event(options, "reserved @id value",
+                               f"@id value {value!r} is reserved.")
+                    continue
+                expanded = expand_iri(active_ctx, value, base_mode=True,
+                                      options=options)
+                if (expanded is not None and not is_absolute_iri(expanded)
+                        and not expanded.startswith("_:")
+                        and not options.get("isFrame")):
+                    emit_event(options, "relative @id reference",
+                               f"Relative @id reference: {expanded!r}")
+                result["@id"] = expanded
+            elif frame_expansion and isinstance(value, dict) and not value:
+                result["@id"] = [value]
+            elif frame_expansion and isinstance(value, list):
+                ids = []
+                for v in value:
+                    if not isinstance(v, str):
+                        raise JsonLdError("@id must be a string (frame).",
+                                          "invalid @id value")
+                    ids.append(expand_iri(active_ctx, v, base_mode=True,
+                                          options=options))
+                result["@id"] = ids
+            else:
+                raise JsonLdError("@id value must be a string.",
+                                  "invalid @id value")
+            continue
+
+        if expanded_property == "@type":
+            _expand_type(type_scoped_ctx, value, result, options,
+                         frame_expansion)
+            continue
+
+        if expanded_property == "@graph":
+            if not isinstance(value, (dict, list)):
+                raise JsonLdError("@graph value must be an object or array.",
+                                  "invalid @graph value")
+            ev = expand(active_ctx, "@graph", value, options)
+            if not isinstance(ev, list):
+                ev = [ev] if ev is not None else []
+            result["@graph"] = ev
+            continue
+
+        if expanded_property == "@included":
+            if active_ctx.processing_mode == "json-ld-1.0":
+                continue
+            inc = expand(active_ctx, None, value, options)
+            if not isinstance(inc, list):
+                inc = [inc] if inc is not None else []
+            for node in inc:
+                if not isinstance(node, dict) or "@value" in node \
+                        or "@list" in node:
+                    raise JsonLdError(
+                        "@included values must be node objects.",
+                        "invalid @included value")
+            if "@included" in result:
+                result["@included"].extend(inc)
+            else:
+                result["@included"] = inc
+            continue
+
+        if expanded_property == "@value":
+            if input_type == "@json":
+                if active_ctx.processing_mode == "json-ld-1.0":
+                    raise JsonLdError("@json requires JSON-LD 1.1.",
+                                      "invalid value object value")
+                result["@value"] = value
+            elif value is None or is_scalar(value):
+                result["@value"] = value
+            elif frame_expansion and isinstance(value, (dict, list)):
+                result["@value"] = value if isinstance(value, list) \
+                    else [value]
+            else:
+                raise JsonLdError(
+                    "@value value must be a scalar or null.",
+                    "invalid value object value")
+            continue
+
+        if expanded_property == "@language":
+            if isinstance(value, str):
+                if not BCP47_RE.match(value):
+                    emit_event(options, "invalid @language value",
+                               f"@language value {value!r} is not "
+                               "well-formed BCP47.")
+                result["@language"] = value.lower()
+            elif frame_expansion and isinstance(value, (dict, list)):
+                vs = value if isinstance(value, list) else [value]
+                result["@language"] = [
+                    v.lower() if isinstance(v, str) else v for v in vs]
+            else:
+                raise JsonLdError("@language value must be a string.",
+                                  "invalid language-tagged string")
+            continue
+
+        if expanded_property == "@direction":
+            if value in ("ltr", "rtl"):
+                result["@direction"] = value
+            elif frame_expansion and isinstance(value, (dict, list)):
+                result["@direction"] = value
+            else:
+                raise JsonLdError('@direction must be "ltr" or "rtl".',
+                                  "invalid base direction")
+            continue
+
+        if expanded_property == "@index":
+            if not isinstance(value, str):
+                raise JsonLdError("@index value must be a string.",
+                                  "invalid @index value")
+            result["@index"] = value
+            continue
+
+        if expanded_property == "@reverse":
+            if not isinstance(value, dict):
+                raise JsonLdError("@reverse value must be an object.",
+                                  "invalid @reverse value")
+            expanded = expand(active_ctx, "@reverse", value, options)
+            if isinstance(expanded, dict) and "@reverse" in expanded:
+                for prop, items in expanded["@reverse"].items():
+                    result.setdefault(prop, []).extend(items)
+            if isinstance(expanded, dict):
+                reverse_map = result.setdefault("@reverse", {})
+                for prop, items in expanded.items():
+                    if prop == "@reverse":
+                        continue
+                    for item in items:
+                        if is_value(item) or is_list(item):
+                            raise JsonLdError(
+                                "Reverse value must be a node object.",
+                                "invalid reverse property value")
+                        reverse_map.setdefault(prop, []).append(item)
+            continue
+
+        if expanded_property == "@nest":
+            nests.append(key)
+            continue
+
+        if expanded_property == "@list":
+            if active_property is None or active_property == "@graph":
+                emit_event(options, "free-floating list",
+                           "Dropping free-floating @list.")
+                continue
+            ev = expand(active_ctx, active_property, value, options,
+                        inside_list=True)
+            if not isinstance(ev, list):
+                ev = [ev] if ev is not None else []
+            result["@list"] = ev
+            continue
+
+        if expanded_property == "@set":
+            ev = expand(active_ctx, active_property, value, options)
+            result["@set"] = ev if isinstance(ev, list) else (
+                [ev] if ev is not None else [])
+            continue
+
+        if frame_expansion and expanded_property in _FRAME_KEYWORDS:
+            ev = expand(active_ctx, expanded_property, value, options)
+            if expanded_property != "@default":
+                # keep raw scalars for frame flags
+                ev = value
+            result[expanded_property] = ev if isinstance(ev, list) else [ev]
+            continue
+
+        if is_keyword(expanded_property):
+            # unhandled keyword (e.g. frame keywords outside frames) — drop
+            continue
+
+        # ---- regular property -------------------------------------------
+        term_def = active_ctx.mappings.get(key) or {}
+        container = term_def.get("@container", [])
+
+        if term_def.get("@type") == "@json":
+            expanded_value = [{"@value": value, "@type": "@json"}]
+            expanded_value = expanded_value[0]
+        elif "@language" in container and isinstance(value, dict):
+            expanded_value = _expand_language_map(active_ctx, key, value,
+                                                  term_def, options)
+        elif (isinstance(value, dict)
+              and any(c in container for c in ("@index", "@type", "@id"))):
+            expanded_value = _expand_index_map(
+                active_ctx, key, value, term_def, container, options)
+        else:
+            is_list_container = "@list" in container
+            if is_list_container and (active_property == "@graph"
+                                      or active_property is None):
+                is_list_container = False
+            expanded_value = expand(active_ctx, key, value, options,
+                                    inside_list=is_list_container)
+
+        if expanded_value is None and expanded_property != "@value":
+            continue
+
+        # wrap in list object if needed
+        if "@list" in container and not is_list(expanded_value):
+            if not isinstance(expanded_value, list):
+                expanded_value = [expanded_value]
+            expanded_value = {"@list": expanded_value}
+
+        # graph container wrapping (simple @graph container only)
+        if ("@graph" in container and "@id" not in container
+                and "@index" not in container):
+            ev = expanded_value if isinstance(expanded_value, list) \
+                else [expanded_value]
+            expanded_value = [
+                v if is_graph(v) else {"@graph": [v]} for v in ev]
+
+        if term_def.get("reverse"):
+            reverse_map = result.setdefault("@reverse", {})
+            ev = expanded_value if isinstance(expanded_value, list) \
+                else [expanded_value]
+            for item in ev:
+                if is_value(item) or is_list(item):
+                    raise JsonLdError(
+                        "Reverse property value must be a node object.",
+                        "invalid reverse property value")
+                reverse_map.setdefault(expanded_property, []).append(item)
+        else:
+            ev = expanded_value if isinstance(expanded_value, list) \
+                else [expanded_value]
+            result.setdefault(expanded_property, []).extend(ev)
+
+
+def _expand_type(type_scoped_ctx, value, result, options, frame_expansion):
+    def one(v):
+        if isinstance(v, str):
+            expanded = expand_iri(type_scoped_ctx, v, base_mode=True,
+                                  vocab_mode=True, options=options)
+            if (expanded is not None and not is_absolute_iri(expanded)
+                    and not expanded.startswith("_:")):
+                emit_event(options, "relative @type reference",
+                           f"Relative @type reference: {expanded!r}")
+            return expanded
+        if frame_expansion and isinstance(v, dict) and not v:
+            return v
+        raise JsonLdError("@type value must be a string.",
+                          "invalid type value")
+
+    if isinstance(value, list):
+        expanded = [one(v) for v in value]
+        expanded = [e for e in expanded if e is not None]
+    else:
+        expanded = one(value)
+        if expanded is None:
+            return
+    existing = result.get("@type")
+    if existing is not None:
+        existing = existing if isinstance(existing, list) else [existing]
+        new = expanded if isinstance(expanded, list) else [expanded]
+        result["@type"] = existing + new
+    else:
+        result["@type"] = expanded
+
+
+def _expand_language_map(active_ctx, key, value, term_def, options):
+    """Language map expansion (spec §5.1.2 step 13.7;
+    cf. reference expand.js:1141-1188)."""
+    rval = []
+    direction = term_def.get("@direction",
+                             active_ctx.default_direction) \
+        if term_def.get("_has_direction") else active_ctx.default_direction
+    for lang in sorted(value.keys()):
+        items = value[lang]
+        if not isinstance(items, list):
+            items = [items]
+        exp_lang = expand_iri(active_ctx, lang, vocab_mode=True,
+                              options=options)
+        if exp_lang == "@none":
+            exp_lang = None
+        elif isinstance(lang, str) and not BCP47_RE.match(lang):
+            emit_event(options, "invalid @language value",
+                       f"Language map key {lang!r} is not well-formed "
+                       "BCP47.")
+        for item in items:
+            if item is None:
+                continue
+            if not isinstance(item, str):
+                raise JsonLdError(
+                    "Language map values must be strings.",
+                    "invalid language map value")
+            v = {"@value": item}
+            if exp_lang is not None:
+                v["@language"] = lang.lower()
+            if direction is not None:
+                v["@direction"] = direction
+            rval.append(v)
+    return rval
+
+
+def _expand_index_map(active_ctx, key, value, term_def, container, options):
+    """Index/id/type map expansion (spec §5.1.2 step 13.8;
+    cf. reference expand.js:1190-1281)."""
+    rval = []
+    as_graph = "@graph" in container
+    index_key = term_def.get("@index", "@index")
+    property_index = index_key != "@index"
+    for idx in sorted(value.keys()):
+        items = value[idx]
+        map_ctx = active_ctx
+        if "@id" in container or "@type" in container:
+            idx_def = active_ctx.mappings.get(idx)
+            if ("@type" in container and idx_def
+                    and idx_def.get("@context") is not None):
+                map_ctx = process_context(active_ctx, idx_def["@context"],
+                                          options, propagate=False)
+        if not isinstance(items, list):
+            items = [items]
+        expanded_items = expand(map_ctx, key, items, options, from_map=True)
+        expanded_idx = expand_iri(active_ctx, idx, vocab_mode=True,
+                                  options=options)
+        for item in expanded_items:
+            if as_graph and not is_graph(item):
+                item = {"@graph": [item]}
+            if "@index" in container:
+                if expanded_idx != "@none":
+                    if property_index:
+                        # property-based indexing: re-expand idx as a value
+                        # of index_key and add it to the item
+                        idx_val = _expand_value(
+                            active_ctx, index_key, idx, options)
+                        prop_iri = expand_iri(
+                            active_ctx, index_key, vocab_mode=True,
+                            options=options)
+                        item.setdefault(prop_iri, [])
+                        item[prop_iri] = [idx_val] + item[prop_iri]
+                        if is_value(item) and len(item) > 1:
+                            raise JsonLdError(
+                                "invalid value object with property index.",
+                                "invalid value object")
+                    elif not is_value(item) and "@index" not in item:
+                        item["@index"] = idx
+            elif "@id" in container:
+                if expanded_idx != "@none" and "@id" not in item:
+                    item["@id"] = expand_iri(active_ctx, idx,
+                                             base_mode=True, options=options)
+            elif "@type" in container:
+                if expanded_idx != "@none":
+                    types = item.get("@type", [])
+                    types = types if isinstance(types, list) else [types]
+                    item["@type"] = [expanded_idx] + types
+            rval.append(item)
+    return rval
+
+
+def _expand_value(active_ctx, active_property, value, options):
+    """Value Expansion (spec §5.3.2; cf. reference expand.js:1053-1129)."""
+    if value is None:
+        return None
+    if active_property in ("@id",):
+        return expand_iri(active_ctx, value, base_mode=True, options=options)
+    if active_property in ("@type",):
+        return expand_iri(active_ctx, value, base_mode=True, vocab_mode=True,
+                          options=options)
+    term_def = active_ctx.mappings.get(active_property) or {}
+    type_mapping = term_def.get("@type")
+    if type_mapping == "@id" and isinstance(value, str):
+        return {"@id": expand_iri(active_ctx, value, base_mode=True,
+                                  options=options)}
+    if type_mapping == "@vocab" and isinstance(value, str):
+        return {"@id": expand_iri(active_ctx, value, base_mode=True,
+                                  vocab_mode=True, options=options)}
+    if is_keyword(active_property):
+        return value
+    rval = {"@value": value}
+    if type_mapping not in (None, "@id", "@vocab", "@none"):
+        rval["@type"] = type_mapping
+    elif isinstance(value, str):
+        if term_def.get("_has_language"):
+            language = term_def.get("@language")
+        else:
+            language = active_ctx.default_language
+        if term_def.get("_has_direction"):
+            direction = term_def.get("@direction")
+        else:
+            direction = active_ctx.default_direction
+        if language is not None:
+            rval["@language"] = language
+        if direction is not None:
+            rval["@direction"] = direction
+    return rval
+
+
+def expand_document(document, options: dict) -> list:
+    """Top-level expand API (cf. reference jsonld.js:265-343).
+
+    Returns the expanded form as a list.
+    """
+    from .context import initial_context
+    options = dict(options)
+    options.setdefault("base", None)
+    active_ctx = initial_context(options)
+    if options.get("expandContext") is not None:
+        ec = options["expandContext"]
+        if isinstance(ec, dict) and "@context" in ec:
+            ec = ec["@context"]
+        active_ctx = process_context(active_ctx, ec, options)
+    expanded = expand(active_ctx, None, document, options)
+    # post: unwrap lone @graph, normalize to array
+    if isinstance(expanded, dict) and "@graph" in expanded \
+            and len(expanded) == 1:
+        expanded = expanded["@graph"]
+    if expanded is None:
+        expanded = []
+    if not isinstance(expanded, list):
+        expanded = [expanded]
+    return expanded

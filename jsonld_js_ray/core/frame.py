@@ -1,0 +1,385 @@
+"""JSON-LD 1.1 Framing.
+
+Implements the Framing Algorithm from the public W3C JSON-LD 1.1 Framing
+spec (§3: frame matching, value matching, embed control @once/@always/
+@never, @explicit, @requireAll, @default fill-in, @preserve cleanup,
+blank-node pruning). Behavioral parity target: /root/reference/lib/frame.js
+(:29-65 state, :76-323 recursion, :489-637/:771-826 matching,
+:333-367/:694-746 cleanup). Framing is per-document / per-group work in
+the Ray pipeline (SURVEY.md §7.4) — it is never distributed internally."""
+
+from __future__ import annotations
+
+import copy
+from typing import Any
+
+from .compact import compact_document
+from .context import initial_context, process_context
+from .errors import JsonLdError
+from .expand import expand_document
+from .keywords import is_keyword, is_list, is_value
+from .node_map import IdentifierIssuer, create_node_map, merge_node_maps
+
+
+def frame_document(document, frame_doc, options: dict):
+    """Top-level frame API (cf. reference jsonld.js:414-495)."""
+    options = dict(options)
+    options.setdefault("embed", "@once")
+    options.setdefault("explicit", False)
+    options.setdefault("requireAll", False)
+    options.setdefault("omitDefault", False)
+    options.setdefault("pruneBlankNodeIdentifiers", True)
+    options.setdefault("omitGraph",
+                       options.get("processingMode") != "json-ld-1.0")
+
+    expanded = expand_document(document, options)
+    frame_opts = dict(options)
+    frame_opts["isFrame"] = True
+    frame_ctx = frame_doc.get("@context", {}) if isinstance(frame_doc, dict)\
+        else {}
+    expanded_frame = expand_document(frame_doc, frame_opts)
+
+    issuer = IdentifierIssuer("_:b")
+    graph_map: dict[str, Any] = {"@default": {}}
+    create_node_map(expanded, graph_map, "@default", issuer)
+    merged = merge_node_maps({k: dict(v) for k, v in graph_map.items()})
+    # framing operates over the merged node map by default
+    merged_map = {"@merged": {}}
+    merged_issuer = IdentifierIssuer("_:b")
+    create_node_map(expanded, merged_map, "@merged", merged_issuer)
+
+    state = {
+        "options": options,
+        "graph": "@merged",
+        "graphMap": {"@merged": merged_map["@merged"],
+                     **{k: v for k, v in graph_map.items()}},
+        "subjectStack": [],
+        "link": {},
+        "bnodeMap": {},
+    }
+
+    results: list = []
+    _match_frame(state, sorted(state["graphMap"]["@merged"].keys()),
+                 expanded_frame, results, None)
+
+    # prune blank node identifiers used only once
+    if options["pruneBlankNodeIdentifiers"]:
+        to_prune = [bid for bid, uses in state["bnodeMap"].items()
+                    if len(uses) == 1]
+        _prune_bnodes(results, set(to_prune))
+
+    # compact with the frame's context
+    compact_opts = dict(options)
+    compacted = compact_document(results, frame_ctx, compact_opts,
+                                 from_flatten=True)
+    # cleanup @preserve / null
+    compacted = _cleanup_preserve(compacted)
+    compacted = _cleanup_null(compacted)
+
+    if isinstance(compacted, dict) and "@graph" in compacted \
+            and options["omitGraph"]:
+        graph_val = compacted["@graph"]
+        if isinstance(graph_val, list) and len(graph_val) == 1 \
+                and isinstance(graph_val[0], dict):
+            merged_out = dict(graph_val[0])
+            if "@context" in compacted:
+                merged_out = {"@context": compacted["@context"],
+                              **merged_out}
+            compacted = merged_out
+    elif isinstance(compacted, dict) and "@graph" not in compacted \
+            and not options["omitGraph"]:
+        ctxv = compacted.pop("@context", None)
+        body = {"@graph": [compacted] if compacted else []}
+        if ctxv is not None:
+            body = {"@context": ctxv, **body}
+        compacted = body
+    return compacted
+
+
+def _get_frame_flag(frame, options, name):
+    key = "@" + name
+    if key in frame:
+        v = frame[key]
+        if isinstance(v, list) and v:
+            v = v[0]
+        if isinstance(v, dict) and "@value" in v:
+            v = v["@value"]
+        if name == "embed":
+            if v is True:
+                return "@once"
+            if v is False:
+                return "@never"
+            if v in ("@always", "@never", "@link", "@once", "@first",
+                     "@last"):
+                return v
+            raise JsonLdError(f"Invalid @embed value: {v!r}",
+                              "invalid @embed value")
+        return bool(v)
+    return options.get(name if name != "embed" else "embed")
+
+
+def _node_matches_frame(state, subject: dict, frame: dict, options) -> bool:
+    """Frame Matching (framing spec §3.2): match on @id / @type, otherwise
+    duck-typing where the node must have the frame's properties. Observable
+    semantics mirror the reference's subject filter
+    (/root/reference/lib/frame.js:489-637)."""
+    require_all = _get_frame_flag(frame, options, "requireAll")
+    wildcard = True
+    matches_some = False
+    for key in frame.keys():
+        match_this = False
+        v = frame[key]
+        frame_values = v if isinstance(v, list) else [v]
+        node_values = subject.get(key, [])
+        if not isinstance(node_values, list):
+            node_values = [node_values]
+        is_empty = len(frame_values) == 0
+
+        if key == "@id":
+            first = frame_values[0] if frame_values else {}
+            if isinstance(first, dict) and not first:
+                match_this = True
+            else:
+                match_this = (subject.get("@id") in frame_values)
+            if not require_all:
+                return match_this
+        elif key == "@type":
+            wildcard = False
+            if is_empty:
+                if node_values:
+                    return False
+                match_this = True
+            elif (len(frame_values) == 1
+                  and isinstance(frame_values[0], dict)
+                  and not frame_values[0]):
+                match_this = len(node_values) > 0
+            else:
+                for t in frame_values:
+                    if isinstance(t, dict) and "@default" in t:
+                        match_this = True
+                    elif t in node_values:
+                        match_this = True
+            if not require_all:
+                return match_this
+        elif is_keyword(key):
+            continue
+        else:
+            this_frame = frame_values[0] if frame_values else None
+            has_default = (isinstance(this_frame, dict)
+                           and "@default" in this_frame)
+            wildcard = False
+            if not node_values and has_default:
+                continue
+            if node_values and is_empty:
+                return False
+            if this_frame is None:
+                if node_values:
+                    return False
+                match_this = True
+            elif is_list(this_frame):
+                list_value = (this_frame["@list"][0]
+                              if this_frame["@list"] else None)
+                if node_values and is_list(node_values[0]):
+                    node_list_values = node_values[0]["@list"]
+                    if is_value(list_value):
+                        match_this = any(
+                            _value_pattern_match(list_value, lv)
+                            for lv in node_list_values)
+                    elif isinstance(list_value, dict):
+                        match_this = len(node_list_values) > 0
+            elif is_value(this_frame):
+                match_this = any(_value_pattern_match(this_frame, nv)
+                                 for nv in node_values)
+            elif isinstance(this_frame, dict) and len(this_frame) == 1 \
+                    and "@id" in this_frame:
+                ids = this_frame["@id"]
+                ids = ids if isinstance(ids, list) else [ids]
+                match_this = any(
+                    isinstance(nv, dict) and nv.get("@id") in ids
+                    or (ids and isinstance(ids[0], dict))
+                    for nv in node_values)
+            elif isinstance(this_frame, dict):
+                match_this = len(node_values) > 0
+            else:
+                match_this = False
+
+        if not match_this and require_all:
+            return False
+        matches_some = matches_some or match_this
+    return wildcard or matches_some
+
+
+def _value_pattern_match(pattern: dict, value) -> bool:
+    if not is_value(value):
+        return False
+    for k in ("@value", "@type", "@language"):
+        if k in pattern:
+            pv = pattern[k]
+            pvs = pv if isinstance(pv, list) else [pv]
+            if len(pvs) == 1 and isinstance(pvs[0], dict) and not pvs[0]:
+                if k == "@value" and value.get(k) is None:
+                    return False
+                continue  # wildcard
+            if value.get(k) not in pvs:
+                return False
+    return True
+
+
+def _match_frame(state, subjects, frame, parent, active_property):
+    """Frame recursion (framing spec §3.1; cf. reference frame.js:76-323)."""
+    options = state["options"]
+    frame_obj = frame[0] if isinstance(frame, list) and frame else (
+        frame if isinstance(frame, dict) else {})
+    embed = _get_frame_flag(frame_obj, options, "embed")
+    explicit = _get_frame_flag(frame_obj, options, "explicit")
+
+    graph = state["graphMap"][state["graph"]]
+    matched = {}
+    for sid in subjects:
+        subject = graph.get(sid)
+        if subject is None:
+            continue
+        if _node_matches_frame(state, subject, frame_obj, options):
+            matched[sid] = subject
+
+    for sid in sorted(matched.keys()):
+        subject = matched[sid]
+        output: dict[str, Any] = {"@id": sid}
+        if sid.startswith("_:"):
+            state["bnodeMap"].setdefault(sid, []).append(output)
+
+        if embed == "@link" and sid in state["link"]:
+            _add_frame_output(parent, active_property, state["link"][sid])
+            continue
+        state["link"][sid] = output
+
+        on_stack = any(s == sid for s, _ in state["subjectStack"])
+        if embed == "@never" or on_stack:
+            _add_frame_output(parent, active_property, {"@id": sid})
+            continue
+        if embed == "@once" and sid in state.setdefault("embedded", set()):
+            _add_frame_output(parent, active_property, {"@id": sid})
+            continue
+        state.setdefault("embedded", set()).add(sid)
+        state["subjectStack"].append((sid, subject))
+
+        for prop in sorted(subject.keys()):
+            objects = subject[prop]
+            if is_keyword(prop):
+                if prop in ("@id", "@type"):
+                    if prop == "@type":
+                        output["@type"] = list(objects)
+                        for t in objects:
+                            if isinstance(t, str) and t.startswith("_:"):
+                                state["bnodeMap"].setdefault(
+                                    t, []).append(output)
+                    continue
+                if prop == "@graph":
+                    continue
+                output[prop] = copy.deepcopy(objects)
+                continue
+            if explicit and prop not in frame_obj:
+                continue
+            for o in objects:
+                sub_frame = frame_obj.get(prop)
+                if isinstance(sub_frame, list):
+                    sub_frame = sub_frame[0] if sub_frame else {}
+                if sub_frame is None:
+                    sub_frame = {}
+
+                if is_list(o):
+                    list_out = {"@list": []}
+                    list_frame = sub_frame.get("@list", [{}]) \
+                        if isinstance(sub_frame, dict) else [{}]
+                    if isinstance(list_frame, list) and list_frame:
+                        list_frame = list_frame[0]
+                    elif not isinstance(list_frame, dict):
+                        list_frame = {}
+                    for item in o["@list"]:
+                        if isinstance(item, dict) and "@id" in item \
+                                and not is_value(item):
+                            _match_frame(state, [item["@id"]], [list_frame],
+                                         list_out, "@list")
+                        else:
+                            list_out["@list"].append(copy.deepcopy(item))
+                    _add_frame_output(output, prop, list_out)
+                elif isinstance(o, dict) and "@id" in o \
+                        and not is_value(o):
+                    _match_frame(state, [o["@id"]], [sub_frame], output,
+                                 prop)
+                else:
+                    _add_frame_output(output, prop, copy.deepcopy(o))
+
+        # defaults
+        for prop in sorted(frame_obj.keys()):
+            if is_keyword(prop) or prop in output:
+                continue
+            pf = frame_obj[prop]
+            if isinstance(pf, list):
+                pf = pf[0] if pf else {}
+            if not isinstance(pf, dict):
+                pf = {}
+            if _get_frame_flag(pf, options, "omitDefault"):
+                continue
+            default = pf.get("@default", "@null")
+            if isinstance(default, list) and len(default) == 1:
+                default = default[0]
+            if default == "@null" or (isinstance(default, dict)
+                                      and default.get("@value") == "@null"):
+                output[prop] = [{"@preserve": ["@null"]}]
+            else:
+                output[prop] = [{"@preserve": [copy.deepcopy(default)]}]
+
+        _add_frame_output(parent, active_property, output)
+        state["subjectStack"].pop()
+
+
+def _add_frame_output(parent, prop, output):
+    if isinstance(parent, dict):
+        parent.setdefault(prop, []).append(output)
+    else:
+        parent.append(output)
+
+
+def _prune_bnodes(element, to_prune: set):
+    if isinstance(element, list):
+        for item in element:
+            _prune_bnodes(item, to_prune)
+    elif isinstance(element, dict):
+        if "@id" in element and element["@id"] in to_prune \
+                and len(element) > 1:
+            del element["@id"]
+        for v in element.values():
+            _prune_bnodes(v, to_prune)
+
+
+def _cleanup_preserve(element):
+    if isinstance(element, list):
+        return [_cleanup_preserve(e) for e in element]
+    if isinstance(element, dict):
+        if "@preserve" in element and len(element) == 1:
+            v = element["@preserve"]
+            if isinstance(v, list) and len(v) == 1:
+                v = v[0]
+            if v == "@null":
+                return None
+            return _cleanup_preserve(v)
+        return {k: _cleanup_preserve(v) for k, v in element.items()}
+    if element == "@null":
+        return None
+    return element
+
+
+def _cleanup_null(element):
+    if isinstance(element, list):
+        out = [_cleanup_null(e) for e in element]
+        return [e for e in out if e is not None]
+    if isinstance(element, dict):
+        if "@preserve" in element:
+            v = element["@preserve"]
+            if v == "@null" or v == ["@null"]:
+                return None
+            return _cleanup_null(v if not isinstance(v, list) or
+                                 len(v) != 1 else v[0])
+        return {k: _cleanup_null(v) for k, v in element.items()}
+    return element

@@ -1,0 +1,166 @@
+"""RDF dataset → expanded JSON-LD.
+
+Implements the Serialize RDF as JSON-LD algorithm (W3C JSON-LD 1.1 API
+§8.2–§8.3) from the public spec, including ``rdf:List`` reconstruction via
+single-reference tracking. Behavioral parity target:
+/root/reference/lib/fromRdf.js:51-293 (list logic :117-140, 222-257;
+literal conversion :305-407)."""
+
+from __future__ import annotations
+
+import json
+
+from .errors import JsonLdError
+from .keywords import (
+    I18N_NS, RDF_FIRST, RDF_JSON_LITERAL, RDF_LANGSTRING, RDF_LIST, RDF_NIL,
+    RDF_REST, RDF_TYPE, XSD_BOOLEAN, XSD_DOUBLE, XSD_INTEGER, XSD_STRING,
+)
+from .to_rdf import OBJ_BNODE, OBJ_IRI, OBJ_LITERAL, Quad
+
+
+def _rdf_to_object(o_kind, o_value, datatype, language, options):
+    """RDF term → JSON-LD value (spec §8.3; cf. fromRdf.js:305-407)."""
+    if o_kind in (OBJ_IRI, OBJ_BNODE):
+        return {"@id": o_value}
+    use_native = options.get("useNativeTypes", False)
+    rdf_direction = options.get("rdfDirection")
+    rval: dict = {"@value": o_value}
+    if datatype == RDF_JSON_LITERAL and \
+            options.get("processingMode") != "json-ld-1.0":
+        try:
+            rval["@value"] = json.loads(o_value)
+        except ValueError as e:
+            raise JsonLdError(f"JSON literal could not be parsed: {e}",
+                              "invalid JSON literal")
+        rval["@type"] = "@json"
+        return rval
+    if language:
+        rval["@language"] = language
+        return rval
+    if rdf_direction == "i18n-datatype" and datatype and \
+            datatype.startswith(I18N_NS):
+        lang_dir = datatype[len(I18N_NS):]
+        lang, _, direction = lang_dir.partition("_")
+        if lang:
+            rval["@language"] = lang
+        if direction:
+            rval["@direction"] = direction
+        return rval
+    if use_native:
+        if datatype == XSD_BOOLEAN:
+            if o_value == "true":
+                return {"@value": True}
+            if o_value == "false":
+                return {"@value": False}
+        elif datatype == XSD_INTEGER:
+            try:
+                return {"@value": int(o_value)}
+            except ValueError:
+                pass
+        elif datatype == XSD_DOUBLE:
+            try:
+                return {"@value": float(o_value)}
+            except ValueError:
+                pass
+        elif datatype == XSD_STRING or datatype is None:
+            return {"@value": o_value}
+        rval["@type"] = datatype
+        return rval
+    if datatype not in (None, XSD_STRING):
+        rval["@type"] = datatype
+    return rval
+
+
+def from_rdf_quads(quads: list[Quad], options: dict) -> list:
+    """Quads → expanded JSON-LD (spec §8.2)."""
+    use_rdf_type = options.get("useRdfType", False)
+
+    graph_map: dict[str, dict] = {"@default": {}}
+    referenced_once: dict[str, object] = {}
+    nil_usages_by_graph: dict[str, list] = {}
+
+    for q in quads:
+        s, p, o_kind, o_value, datatype, language, graph = q
+        name = graph if graph else "@default"
+        node_map = graph_map.setdefault(name, {})
+        if name != "@default":
+            graph_map.setdefault("@default", {}).setdefault(
+                name, {"@id": name})
+        node = node_map.setdefault(s, {"@id": s})
+
+        is_node_object = o_kind in (OBJ_IRI, OBJ_BNODE)
+        if is_node_object:
+            node_map.setdefault(o_value, {"@id": o_value})
+
+        if p == RDF_TYPE and not use_rdf_type and is_node_object:
+            types = node.setdefault("@type", [])
+            if o_value not in types:
+                types.append(o_value)
+            continue
+
+        value = _rdf_to_object(o_kind, o_value, datatype, language, options)
+        values = node.setdefault(p, [])
+        if value not in values:
+            values.append(value)
+
+        # list-usage tracking
+        if is_node_object:
+            usage = {"node": node, "property": p, "value": value,
+                     "graph": name}
+            if o_value == RDF_NIL:
+                nil_usages_by_graph.setdefault(name, []).append(usage)
+            elif o_value in referenced_once:
+                referenced_once[o_value] = False
+            elif o_kind == OBJ_BNODE:
+                referenced_once[o_value] = usage
+
+    # list reconstruction per graph (spec §8.2 step 4; fromRdf.js:117-140)
+    for name, usages in nil_usages_by_graph.items():
+        node_map = graph_map[name]
+        for usage in usages:
+            node, prop, head = usage["node"], usage["property"], \
+                usage["value"]
+            lst, lst_nodes = [], []
+            while (prop == RDF_REST
+                   and isinstance(referenced_once.get(node["@id"]), dict)
+                   and node["@id"].startswith("_:")
+                   and isinstance(node.get(RDF_FIRST), list)
+                   and len(node.get(RDF_FIRST, [])) == 1
+                   and isinstance(node.get(RDF_REST), list)
+                   and len(node.get(RDF_REST, [])) == 1
+                   and set(node.keys()) <= {"@id", "@type", RDF_FIRST,
+                                            RDF_REST}
+                   and node.get("@type", [RDF_LIST]) == [RDF_LIST]):
+                lst.append(node[RDF_FIRST][0])
+                lst_nodes.append(node["@id"])
+                usage_ref = referenced_once[node["@id"]]
+                node, prop, head = (usage_ref["node"],
+                                    usage_ref["property"],
+                                    usage_ref["value"])
+                if not node["@id"].startswith("_:"):
+                    break
+            # convert: replace head value {@id: ...} with {@list: [...]}
+            head.pop("@id", None)
+            lst.reverse()
+            head["@list"] = lst
+            for nid in lst_nodes:
+                node_map.pop(nid, None)
+
+    result = []
+    default_graph = graph_map["@default"]
+    for subject in sorted(default_graph.keys()):
+        node = default_graph[subject]
+        if subject in graph_map and subject != "@default":
+            node = dict(node)
+            graph_nodes = []
+            inner = graph_map[subject]
+            for s2 in sorted(inner.keys()):
+                n2 = inner[s2]
+                if len(n2) == 1 and "@id" in n2:
+                    continue
+                graph_nodes.append(n2)
+            node["@graph"] = graph_nodes
+        if len(node) == 1 and "@id" in node:
+            continue
+        result.append(node)
+    return result

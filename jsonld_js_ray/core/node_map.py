@@ -1,0 +1,218 @@
+"""Node Map Generation and flattening.
+
+Implements the JSON-LD 1.1 Node Map Generation / Merge Node Maps /
+Flattening algorithms (W3C JSON-LD 1.1 API §7) from the public spec.
+Behavioral parity target: /root/reference/lib/nodeMap.js:24-290 and
+lib/flatten.js:24-38. Unlike the reference this implementation never
+mutates its input (expanded documents are reused by later stages in the
+Ray pipeline)."""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from .errors import JsonLdError
+from .keywords import is_keyword, is_list, is_value
+
+
+class IdentifierIssuer:
+    """Deterministic, order-preserving blank-node relabeler
+    (public rdf-canonize semantics; cf. SURVEY.md §2.3)."""
+
+    __slots__ = ("prefix", "counter", "issued")
+
+    def __init__(self, prefix: str = "_:b"):
+        self.prefix = prefix
+        self.counter = 0
+        self.issued: dict[str, str] = {}
+
+    def get_id(self, old: Optional[str] = None) -> str:
+        if old is not None and old in self.issued:
+            return self.issued[old]
+        new_id = f"{self.prefix}{self.counter}"
+        self.counter += 1
+        if old is not None:
+            self.issued[old] = new_id
+        return new_id
+
+    def has_id(self, old: str) -> bool:
+        return old in self.issued
+
+    def clone(self) -> "IdentifierIssuer":
+        c = IdentifierIssuer(self.prefix)
+        c.counter = self.counter
+        c.issued = dict(self.issued)
+        return c
+
+
+def _compare_values(v1, v2) -> bool:
+    """Value equality for dedup inside node merge
+    (cf. reference util.js:376-400)."""
+    if v1 == v2:
+        return True
+    if is_value(v1) and is_value(v2):
+        return (v1.get("@value") == v2.get("@value")
+                and v1.get("@type") == v2.get("@type")
+                and v1.get("@language") == v2.get("@language")
+                and v1.get("@index") == v2.get("@index"))
+    if (isinstance(v1, dict) and "@id" in v1
+            and isinstance(v2, dict) and "@id" in v2):
+        return v1["@id"] == v2["@id"]
+    return False
+
+
+def add_value(subject: dict, prop: str, value, allow_duplicate=False):
+    """cf. reference util.js:246-298 (propertyIsArray=True semantics)."""
+    values = subject.setdefault(prop, [])
+    if allow_duplicate or not any(_compare_values(value, v) for v in values):
+        values.append(value)
+
+
+def create_node_map(element, graph_map: dict, active_graph: str,
+                    issuer: IdentifierIssuer,
+                    active_subject=None, active_property: Optional[str] = None,
+                    list_: Optional[dict] = None):
+    """Node Map Generation (spec §7.4.2)."""
+    if isinstance(element, list):
+        for item in element:
+            create_node_map(item, graph_map, active_graph, issuer,
+                            active_subject, active_property, list_)
+        return
+
+    if not isinstance(element, dict):
+        return
+
+    graph = graph_map.setdefault(active_graph, {})
+    subject_node = (graph.get(active_subject)
+                    if isinstance(active_subject, str) else None)
+
+    # relabel blank-node @type values
+    el_types = element.get("@type")
+    if el_types is not None:
+        el_types = [issuer.get_id(t) if isinstance(t, str)
+                    and t.startswith("_:") else t for t in el_types]
+
+    if is_value(element):
+        out = dict(element)
+        if el_types is not None:
+            out["@type"] = el_types[0] if not isinstance(
+                element["@type"], list) else el_types
+        if list_ is None:
+            if subject_node is not None and active_property is not None:
+                add_value(subject_node, active_property, out)
+        else:
+            list_["@list"].append(out)
+        return
+
+    if is_list(element):
+        result = {"@list": []}
+        create_node_map(element["@list"], graph_map, active_graph, issuer,
+                        active_subject, active_property, result)
+        if list_ is None:
+            if subject_node is not None and active_property is not None:
+                add_value(subject_node, active_property, result)
+        else:
+            list_["@list"].append(result)
+        return
+
+    # node object
+    if "@id" in element:
+        el_id = element["@id"]
+        if el_id is None:
+            return
+        node_id = issuer.get_id(el_id) if isinstance(el_id, str) \
+            and el_id.startswith("_:") else el_id
+    else:
+        node_id = issuer.get_id()
+    if not isinstance(node_id, str):
+        return
+
+    node = graph.setdefault(node_id, {"@id": node_id})
+
+    if isinstance(active_subject, dict):
+        # reverse-property linkage: subject reference under property of node
+        add_value(node, active_property, active_subject)
+    elif active_property is not None:
+        reference = {"@id": node_id}
+        if list_ is None:
+            if subject_node is not None:
+                add_value(subject_node, active_property, reference)
+        else:
+            list_["@list"].append(reference)
+
+    if el_types is not None:
+        for t in el_types:
+            add_value(node, "@type", t)
+
+    if "@index" in element:
+        if "@index" in node and node["@index"] != element["@index"]:
+            raise JsonLdError("Conflicting @index values for node "
+                              f"{node_id!r}.", "conflicting indexes")
+        node["@index"] = element["@index"]
+
+    if "@reverse" in element:
+        referenced = {"@id": node_id}
+        for prop, values in element["@reverse"].items():
+            for value in values:
+                create_node_map(value, graph_map, active_graph, issuer,
+                                referenced, prop)
+
+    if "@graph" in element:
+        graph_map.setdefault(node_id, {})
+        create_node_map(element["@graph"], graph_map, node_id, issuer)
+
+    if "@included" in element:
+        create_node_map(element["@included"], graph_map, active_graph,
+                        issuer)
+
+    for prop in sorted(element.keys()):
+        if prop in ("@id", "@type", "@index", "@reverse", "@graph",
+                    "@included"):
+            continue
+        if is_keyword(prop):
+            if prop == "@value":
+                continue
+            # keep other keywords (e.g. frame artifacts) as-is
+            node[prop] = element[prop]
+            continue
+        values = element[prop]
+        if prop.startswith("_:"):
+            prop = issuer.get_id(prop)
+        node.setdefault(prop, [])
+        create_node_map(values, graph_map, active_graph, issuer, node_id,
+                        prop)
+
+
+def merge_node_maps(graph_map: dict) -> dict:
+    """Merge Node Maps (spec §7.4.4; cf. reference nodeMap.js:262-290):
+    fold named graphs into the default graph."""
+    default_graph = graph_map.get("@default", {})
+    for graph_name in sorted(graph_map.keys()):
+        if graph_name == "@default":
+            continue
+        node_map = graph_map[graph_name]
+        graph_entry = default_graph.setdefault(
+            graph_name, {"@id": graph_name, "@graph": []})
+        graph_list = graph_entry.setdefault("@graph", [])
+        for node_id in sorted(node_map.keys()):
+            node = node_map[node_id]
+            if not (len(node) == 1 and "@id" in node):
+                graph_list.append(node)
+    return default_graph
+
+
+def flatten_expanded(expanded, issuer: Optional[IdentifierIssuer] = None
+                     ) -> list:
+    """Flattening (spec §7.1; cf. reference flatten.js:24-38): expanded
+    document → node-map → sorted node array."""
+    issuer = issuer or IdentifierIssuer("_:b")
+    graph_map: dict[str, Any] = {"@default": {}}
+    create_node_map(expanded, graph_map, "@default", issuer)
+    default_graph = merge_node_maps(graph_map)
+    flattened = []
+    for node_id in sorted(default_graph.keys()):
+        node = default_graph[node_id]
+        if len(node) == 1 and "@id" in node:
+            continue
+        flattened.append(node)
+    return flattened

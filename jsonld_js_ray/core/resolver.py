@@ -1,0 +1,71 @@
+"""Offline context resolution with per-worker caching.
+
+Replaces the reference's HTTP document loader + ContextResolver
+(/root/reference/lib/documentLoaders/node.js:34-199,
+lib/ContextResolver.js:20-211) with an offline snapshot: a plain dict of
+``url -> context document (parsed JSON)`` shipped to every Ray actor via
+``ray.put`` broadcast (SURVEY.md §2.3/§2.4 — schema.org-style contexts are
+the skewed hot keys; they are resolved once per worker, never per row).
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+
+from .errors import JsonLdError
+
+
+class LruCache:
+    def __init__(self, max_size: int = 100):
+        self.max_size = max_size
+        self._d: OrderedDict = OrderedDict()
+
+    def get(self, key):
+        try:
+            self._d.move_to_end(key)
+            return self._d[key]
+        except KeyError:
+            return None
+
+    def put(self, key, value):
+        self._d[key] = value
+        self._d.move_to_end(key)
+        while len(self._d) > self.max_size:
+            self._d.popitem(last=False)
+
+
+class ContextResolver:
+    """Resolves ``@context`` URLs from an in-memory snapshot.
+
+    ``snapshot`` maps absolute URL -> either a parsed JSON-LD document
+    (whose ``@context`` entry is used) or a bare context object/array/URL.
+    ``get_processed``/``put_processed`` back the processed-context cache
+    keyed by (url, active-context fingerprint) — the Ray analog of the
+    reference's ResolvedContext LRU (lib/ResolvedContext.js:8-30).
+    """
+
+    def __init__(self, snapshot: dict | None = None,
+                 document_loader=None, max_processed: int = 512):
+        self.snapshot = snapshot or {}
+        self.document_loader = document_loader
+        self._processed = LruCache(max_processed)
+
+    def resolve(self, url: str) -> dict:
+        doc = self.snapshot.get(url)
+        if doc is None and self.document_loader is not None:
+            doc = self.document_loader(url)
+        if doc is None:
+            raise JsonLdError(
+                f"Could not dereference context URL (offline): {url!r}",
+                "loading remote context failed")
+        if isinstance(doc, dict) and "@context" in doc:
+            ctx = doc["@context"]
+        else:
+            ctx = doc
+        return {"context": ctx, "documentUrl": url}
+
+    def get_processed(self, key):
+        return self._processed.get(key)
+
+    def put_processed(self, key, value):
+        self._processed.put(key, value)

@@ -1,0 +1,169 @@
+"""Expanded JSON-LD → RDF dataset (quads).
+
+Implements the Deserialize JSON-LD to RDF algorithm (W3C JSON-LD 1.1 API
+§8.1) from the public spec. Behavioral parity target:
+/root/reference/lib/toRdf.js (graph walk :102-197, list conversion
+:211-262, object/literal conversion :276-401).
+
+Quad representation (Arrow-friendly; see FIXTURES.md §4):
+    (subject, predicate, object_kind, object_value, datatype, language, graph)
+with object_kind 0=IRI, 1=blank node, 2=literal; graph '' = default graph.
+Blank nodes keep their ``_:`` prefix in subject/object_value/graph.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from .context import emit_event
+from .keywords import (
+    RDF_FIRST, RDF_JSON_LITERAL, RDF_LANGSTRING, RDF_NIL, RDF_REST, RDF_TYPE,
+    I18N_NS, XSD_BOOLEAN, XSD_DOUBLE, XSD_INTEGER, XSD_STRING,
+    is_absolute_iri, is_bool, is_double, is_keyword, is_list, is_number,
+    is_value,
+)
+from .literals import canonical_double, canonical_integer, jcs_canonicalize
+from .node_map import IdentifierIssuer, create_node_map
+
+OBJ_IRI = 0
+OBJ_BNODE = 1
+OBJ_LITERAL = 2
+
+Quad = tuple  # (s, p, o_kind, o_value, datatype, language, graph)
+
+
+def to_rdf(expanded, options: Optional[dict] = None) -> list[Quad]:
+    """Expanded document → list of quads (cf. reference toRdf.js:53-89)."""
+    options = options or {}
+    issuer = options.get("issuer") or IdentifierIssuer("_:b")
+    graph_map: dict = {"@default": {}}
+    create_node_map(expanded, graph_map, "@default", issuer)
+
+    quads: list[Quad] = []
+    for graph_name in sorted(graph_map.keys()):
+        if graph_name == "@default":
+            graph_term = ""
+        elif graph_name.startswith("_:"):
+            graph_term = graph_name
+        elif is_absolute_iri(graph_name):
+            graph_term = graph_name
+        else:
+            emit_event(options, "relative graph reference",
+                       f"Dropping relative graph name {graph_name!r}.")
+            continue
+        _graph_to_rdf(quads, graph_map[graph_name], graph_term, issuer,
+                      options)
+    return quads
+
+
+def _graph_to_rdf(quads, node_map, graph_term, issuer, options):
+    """cf. reference toRdf.js:102-197."""
+    produce_generalized = options.get("produceGeneralizedRdf", False)
+    for subject_id in sorted(node_map.keys()):
+        node = node_map[subject_id]
+        if not subject_id.startswith("_:") and not is_absolute_iri(
+                subject_id):
+            emit_event(options, "relative subject reference",
+                       f"Dropping relative subject {subject_id!r}.")
+            continue
+        for prop in sorted(node.keys()):
+            values = node[prop]
+            if prop == "@type":
+                predicate = RDF_TYPE
+            elif is_keyword(prop):
+                continue
+            elif prop.startswith("_:"):
+                if not produce_generalized:
+                    emit_event(options, "blank node predicate",
+                               f"Dropping blank-node predicate {prop!r}.")
+                    continue
+                predicate = prop
+            elif not is_absolute_iri(prop):
+                emit_event(options, "relative predicate reference",
+                           f"Dropping relative predicate {prop!r}.")
+                continue
+            else:
+                predicate = prop
+
+            if not isinstance(values, list):
+                values = [values]
+            for item in values:
+                if prop == "@type":
+                    item = {"@id": item}
+                if is_list(item):
+                    head = _list_to_rdf(quads, item["@list"], issuer,
+                                        graph_term, options)
+                    if head is not None:
+                        quads.append((subject_id, predicate, head[0],
+                                      head[1], head[2], head[3], graph_term))
+                else:
+                    obj = _object_to_rdf(item, options)
+                    if obj is not None:
+                        quads.append((subject_id, predicate, obj[0], obj[1],
+                                      obj[2], obj[3], graph_term))
+
+
+def _list_to_rdf(quads, items, issuer, graph_term, options):
+    """@list → rdf:first/rest/nil chain (cf. reference toRdf.js:211-262).
+
+    Returns the head object tuple (kind, value, datatype, language)."""
+    head = (OBJ_IRI, RDF_NIL, None, None)
+    # build backwards so each node links to the next
+    converted = []
+    for item in items:
+        obj = _object_to_rdf(item, options)
+        if obj is not None:
+            converted.append(obj)
+    for obj in reversed(converted):
+        bnode = issuer.get_id()
+        quads.append((bnode, RDF_FIRST, obj[0], obj[1], obj[2], obj[3],
+                      graph_term))
+        quads.append((bnode, RDF_REST, head[0], head[1], head[2], head[3],
+                      graph_term))
+        head = (OBJ_BNODE, bnode, None, None)
+    return head
+
+
+def _object_to_rdf(item, options):
+    """Value/node → object term (cf. reference toRdf.js:276-401).
+
+    Returns (kind, value, datatype, language) or None (dropped)."""
+    if isinstance(item, dict) and "@id" in item and not is_value(item):
+        oid = item["@id"]
+        if not isinstance(oid, str):
+            return None
+        if oid.startswith("_:"):
+            return (OBJ_BNODE, oid, None, None)
+        if not is_absolute_iri(oid):
+            emit_event(options, "relative object reference",
+                       f"Dropping relative object reference {oid!r}.")
+            return None
+        return (OBJ_IRI, oid, None, None)
+
+    if not is_value(item):
+        return None
+
+    value = item["@value"]
+    datatype = item.get("@type")
+    language = item.get("@language")
+    direction = item.get("@direction")
+    rdf_direction = options.get("rdfDirection")
+
+    if datatype == "@json":
+        return (OBJ_LITERAL, jcs_canonicalize(value), RDF_JSON_LITERAL, None)
+    if is_bool(value):
+        return (OBJ_LITERAL, "true" if value else "false",
+                datatype or XSD_BOOLEAN, None)
+    if is_double(value) or datatype == XSD_DOUBLE:
+        return (OBJ_LITERAL, canonical_double(float(value)),
+                datatype or XSD_DOUBLE, None)
+    if is_number(value):
+        return (OBJ_LITERAL, canonical_integer(value),
+                datatype or XSD_INTEGER, None)
+    if direction is not None and rdf_direction == "i18n-datatype":
+        dt = f"{I18N_NS}{(language or '').lower()}_{direction}"
+        return (OBJ_LITERAL, str(value), dt, None)
+    if language is not None:
+        return (OBJ_LITERAL, str(value), datatype or RDF_LANGSTRING,
+                language)
+    return (OBJ_LITERAL, str(value), datatype or XSD_STRING, None)

@@ -1,0 +1,195 @@
+"""RFC 3986 IRI parsing and reference resolution.
+
+Implements the algorithms of RFC 3986 §5.2 (resolution, merge paths,
+remove_dot_segments) to match the observable behavior of the reference's
+URL handling (/root/reference/lib/url.js:16-274), including its edge cases:
+empty base paths, network-path references, and keeping a lone trailing
+slash. Written from the RFC, not translated from the reference.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+# RFC 3986 appendix B regex
+_URL_RE = re.compile(
+    r"^(([^:/?#]+):)?(//([^/?#]*))?([^?#]*)(\?([^#]*))?(#(.*))?$")
+
+
+class ParsedUrl:
+    __slots__ = ("scheme", "authority", "path", "query", "fragment",
+                 "has_authority", "has_query", "has_fragment")
+
+    def __init__(self, scheme, authority, path, query, fragment,
+                 has_authority, has_query, has_fragment):
+        self.scheme = scheme
+        self.authority = authority
+        self.path = path
+        self.query = query
+        self.fragment = fragment
+        self.has_authority = has_authority
+        self.has_query = has_query
+        self.has_fragment = has_fragment
+
+
+@lru_cache(maxsize=4096)
+def parse_url(url: str) -> ParsedUrl:
+    m = _URL_RE.match(url)
+    scheme = m.group(2)
+    has_authority = m.group(3) is not None
+    authority = m.group(4) if has_authority else None
+    path = m.group(5) or ""
+    has_query = m.group(6) is not None
+    query = m.group(7) if has_query else None
+    has_fragment = m.group(8) is not None
+    fragment = m.group(9) if has_fragment else None
+    return ParsedUrl(scheme, authority, path, query, fragment,
+                     has_authority, has_query, has_fragment)
+
+
+def remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4."""
+    if not path:
+        return ""
+    output: list[str] = []
+    inp = path
+    while inp:
+        if inp.startswith("../"):
+            inp = inp[3:]
+        elif inp.startswith("./"):
+            inp = inp[2:]
+        elif inp.startswith("/./"):
+            inp = "/" + inp[3:]
+        elif inp == "/.":
+            inp = "/"
+        elif inp.startswith("/../"):
+            inp = "/" + inp[4:]
+            if output:
+                output.pop()
+        elif inp == "/..":
+            inp = "/"
+            if output:
+                output.pop()
+        elif inp in (".", ".."):
+            inp = ""
+        else:
+            # move first path segment (incl. leading '/') to output
+            if inp.startswith("/"):
+                i = inp.find("/", 1)
+            else:
+                i = inp.find("/")
+            if i == -1:
+                output.append(inp)
+                inp = ""
+            else:
+                output.append(inp[:i])
+                inp = inp[i:]
+    return "".join(output)
+
+
+def _merge_paths(base: ParsedUrl, ref_path: str) -> str:
+    """RFC 3986 §5.3 merge."""
+    if base.has_authority and not base.path:
+        return "/" + ref_path
+    i = base.path.rfind("/")
+    if i == -1:
+        return ref_path
+    return base.path[: i + 1] + ref_path
+
+
+def _recompose(scheme, authority, path, query, fragment) -> str:
+    out = []
+    if scheme is not None:
+        out.append(scheme + ":")
+    if authority is not None:
+        out.append("//" + authority)
+    out.append(path)
+    if query is not None:
+        out.append("?" + query)
+    if fragment is not None:
+        out.append("#" + fragment)
+    return "".join(out)
+
+
+def prepend_base(base, iri: str) -> str:
+    """Resolve ``iri`` against ``base`` per RFC 3986 §5.2.2.
+
+    ``base`` may be None (no-op) or a string.
+    """
+    if base is None:
+        return iri
+    if iri is None:
+        return iri
+    b = parse_url(base) if isinstance(base, str) else base
+    r = parse_url(iri)
+
+    if r.scheme is not None:
+        scheme = r.scheme
+        authority = r.authority if r.has_authority else None
+        path = remove_dot_segments(r.path)
+        query = r.query if r.has_query else None
+    elif r.has_authority:
+        scheme = b.scheme
+        authority = r.authority
+        path = remove_dot_segments(r.path)
+        query = r.query if r.has_query else None
+    else:
+        scheme = b.scheme
+        authority = b.authority if b.has_authority else None
+        if r.path == "":
+            path = b.path
+            query = (r.query if r.has_query
+                     else (b.query if b.has_query else None))
+        else:
+            if r.path.startswith("/"):
+                path = remove_dot_segments(r.path)
+            else:
+                path = remove_dot_segments(_merge_paths(b, r.path))
+            query = r.query if r.has_query else None
+    fragment = r.fragment if r.has_fragment else None
+    rv = _recompose(scheme, authority, path, query, fragment)
+    if rv == "":
+        return "./"
+    return rv
+
+
+def remove_base(base, iri: str) -> str:
+    """Make ``iri`` relative to ``base`` where possible (compaction helper).
+
+    Mirrors the observable behavior of /root/reference/lib/url.js:230-274.
+    """
+    if base is None:
+        return iri
+    b = parse_url(base) if isinstance(base, str) else base
+    r = parse_url(iri)
+    if b.scheme != r.scheme:
+        return iri
+    root = (b.authority if b.has_authority else None)
+    r_auth = (r.authority if r.has_authority else None)
+    if root != r_auth:
+        return iri
+
+    base_segments = b.path.split("/")
+    iri_segments = r.path.split("/")
+    # keep last segment of base only if it's a real (non-empty) filename and
+    # the iri has no fragment/query pointing at it
+    last = 0 if (b.has_fragment or b.has_query) else 1
+    while (len(base_segments) > 0 and len(iri_segments) > last
+           and base_segments[0] == iri_segments[0]):
+        base_segments.pop(0)
+        iri_segments.pop(0)
+
+    rval = ""
+    if base_segments:
+        # up-dirs: ignore the trailing filename segment of the base
+        base_segments.pop()
+        rval += "../" * len(base_segments)
+    rval += "/".join(iri_segments)
+    if r.has_query:
+        rval += "?" + (r.query or "")
+    if r.has_fragment:
+        rval += "#" + (r.fragment or "")
+    if rval == "":
+        rval = "./"
+    return rval
