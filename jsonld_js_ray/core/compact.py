@@ -687,8 +687,14 @@ def compact_document(expanded, ctx, options: dict, from_flatten=False):
 
     compacted = compact(active_ctx, None, expanded, options)
 
+    # graph=true semantics (used by flatten/frame): always emit @graph
+    if from_flatten and not isinstance(compacted, list):
+        compacted = [compacted] if compacted else []
+    if from_flatten:
+        alias = compact_iri(active_ctx, "@graph", relative_to_vocab=True)
+        compacted = {alias: compacted}
     # top-level array → wrap in @graph
-    if isinstance(compacted, list):
+    elif isinstance(compacted, list):
         if len(compacted) == 0:
             compacted = {}
         elif len(compacted) == 1 and options.get("compactArrays", True) \

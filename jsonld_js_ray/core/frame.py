@@ -225,8 +225,14 @@ def _value_pattern_match(pattern: dict, value) -> bool:
     return True
 
 
-def _match_frame(state, subjects, frame, parent, active_property):
-    """Frame recursion (framing spec §3.1; cf. reference frame.js:76-323)."""
+def _match_frame(state, subjects, frame, parent, active_property,
+                 embedded=False):
+    """Frame recursion (framing spec §3.1; cf. reference frame.js:76-323).
+
+    ``embedded`` is False only for top-level matches: embed flags
+    (@never/@once) control whether *referenced* nodes are embedded, never
+    whether a top-level match is emitted, and the unique-embed set resets
+    per top-level match (frame.js:103-141)."""
     options = state["options"]
     frame_obj = frame[0] if isinstance(frame, list) and frame else (
         frame if isinstance(frame, dict) else {})
@@ -244,23 +250,32 @@ def _match_frame(state, subjects, frame, parent, active_property):
 
     for sid in sorted(matched.keys()):
         subject = matched[sid]
-        output: dict[str, Any] = {"@id": sid}
-        if sid.startswith("_:"):
-            state["bnodeMap"].setdefault(sid, []).append(output)
+        if active_property is None:
+            # each top-level match is a compartmentalized result
+            state["uniqueEmbeds"] = {}
+        unique_embeds = state.setdefault("uniqueEmbeds", {})
 
         if embed == "@link" and sid in state["link"]:
             _add_frame_output(parent, active_property, state["link"][sid])
             continue
+
+        output: dict[str, Any] = {"@id": sid}
+        if sid.startswith("_:"):
+            state["bnodeMap"].setdefault(sid, []).append(output)
         state["link"][sid] = output
 
+        if not embedded and sid in unique_embeds:
+            # already embedded inside another top-level node
+            continue
         on_stack = any(s == sid for s, _ in state["subjectStack"])
-        if embed == "@never" or on_stack:
-            _add_frame_output(parent, active_property, {"@id": sid})
+        if embedded and (embed == "@never" or on_stack):
+            _add_frame_output(parent, active_property, output)
             continue
-        if embed == "@once" and sid in state.setdefault("embedded", set()):
-            _add_frame_output(parent, active_property, {"@id": sid})
+        if embedded and embed in ("@once", "@first") \
+                and sid in unique_embeds:
+            _add_frame_output(parent, active_property, output)
             continue
-        state.setdefault("embedded", set()).add(sid)
+        unique_embeds[sid] = True
         state["subjectStack"].append((sid, subject))
 
         for prop in sorted(subject.keys()):
@@ -280,34 +295,39 @@ def _match_frame(state, subjects, frame, parent, active_property):
                 continue
             if explicit and prop not in frame_obj:
                 continue
+            implicit = {"@embed": [embed], "@explicit": [explicit]}
             for o in objects:
                 sub_frame = frame_obj.get(prop)
                 if isinstance(sub_frame, list):
                     sub_frame = sub_frame[0] if sub_frame else {}
                 if sub_frame is None:
-                    sub_frame = {}
+                    # implicit frame carries the parent's flags
+                    # (cf. frame.js _createImplicitFrame)
+                    sub_frame = implicit
 
                 if is_list(o):
                     list_out = {"@list": []}
-                    list_frame = sub_frame.get("@list", [{}]) \
-                        if isinstance(sub_frame, dict) else [{}]
+                    list_frame = sub_frame.get("@list", [implicit]) \
+                        if isinstance(sub_frame, dict) else [implicit]
                     if isinstance(list_frame, list) and list_frame:
                         list_frame = list_frame[0]
                     elif not isinstance(list_frame, dict):
-                        list_frame = {}
+                        list_frame = implicit
                     for item in o["@list"]:
                         if isinstance(item, dict) and "@id" in item \
                                 and not is_value(item):
                             _match_frame(state, [item["@id"]], [list_frame],
-                                         list_out, "@list")
+                                         list_out, "@list",
+                                         embedded=True)
                         else:
                             list_out["@list"].append(copy.deepcopy(item))
                     _add_frame_output(output, prop, list_out)
                 elif isinstance(o, dict) and "@id" in o \
                         and not is_value(o):
                     _match_frame(state, [o["@id"]], [sub_frame], output,
-                                 prop)
-                else:
+                                 prop, embedded=True)
+                elif not is_value(o) or not is_value(sub_frame) \
+                        or _value_pattern_match(sub_frame, o):
                     _add_frame_output(output, prop, copy.deepcopy(o))
 
         # defaults
@@ -329,6 +349,27 @@ def _match_frame(state, subjects, frame, parent, active_property):
                 output[prop] = [{"@preserve": ["@null"]}]
             else:
                 output[prop] = [{"@preserve": [copy.deepcopy(default)]}]
+
+        # @reverse framing: find nodes referencing this subject
+        # (cf. frame.js:297-315)
+        for rprop in sorted((frame_obj.get("@reverse") or [{}])[0].keys()
+                            if isinstance(frame_obj.get("@reverse"), list)
+                            else (frame_obj.get("@reverse") or {}).keys()):
+            rframe_src = frame_obj["@reverse"]
+            if isinstance(rframe_src, list):
+                rframe_src = rframe_src[0]
+            rsub_frame = rframe_src.get(rprop, [{}])
+            for other_id in sorted(graph.keys()):
+                other = graph[other_id]
+                vals = other.get(rprop, [])
+                if any(isinstance(v, dict) and v.get("@id") == sid
+                       for v in vals):
+                    rev = output.setdefault("@reverse", {})
+                    target = rev.setdefault(rprop, [])
+                    _match_frame(state, [other_id],
+                                 rsub_frame if isinstance(rsub_frame, list)
+                                 else [rsub_frame],
+                                 target, active_property, embedded=True)
 
         _add_frame_output(parent, active_property, output)
         state["subjectStack"].pop()

@@ -86,17 +86,21 @@ def create_node_map(element, graph_map: dict, active_graph: str,
     subject_node = (graph.get(active_subject)
                     if isinstance(active_subject, str) else None)
 
-    # relabel blank-node @type values
+    # relabel blank-node @type values (node objects carry a list; value
+    # objects carry a scalar like "@json" or a datatype IRI)
     el_types = element.get("@type")
-    if el_types is not None:
+    if isinstance(el_types, list):
         el_types = [issuer.get_id(t) if isinstance(t, str)
                     and t.startswith("_:") else t for t in el_types]
+    elif isinstance(el_types, str):
+        el_types = [issuer.get_id(el_types)] \
+            if el_types.startswith("_:") else [el_types]
 
     if is_value(element):
         out = dict(element)
         if el_types is not None:
-            out["@type"] = el_types[0] if not isinstance(
-                element["@type"], list) else el_types
+            out["@type"] = el_types if isinstance(
+                element.get("@type"), list) else el_types[0]
         if list_ is None:
             if subject_node is not None and active_property is not None:
                 add_value(subject_node, active_property, out)

