@@ -1,0 +1,169 @@
+"""The flagship KG-construction pipeline (BASELINE.json north_star).
+
+read_parquet(repo files) → extract/sha256 (stateless mb) →
+expand+toRDF (actor pool, broadcast context snapshot) → exact quad dedup
+(map-side combine + hash shuffle) → entity-link aggregation (partial
+per-batch combine + small groupby) → partitioned (subj, pred, obj)
+Parquet with a per-partition resume manifest.
+
+Every stage streams: nothing materializes the full dataset on the driver.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+from ..sources.contexts import build_context_snapshot
+from ..sources.repo_files import repo_files_path, sf_from_dir
+from ..stages.dedup import dedup_quads
+from ..stages.expand_quads import DocStatus, ExpandToQuads
+from ..stages.extract import extract_batch
+from ..state import checkpoint
+
+DEFAULT_PARTITIONS = 64
+
+
+def _default_concurrency() -> int:
+    import ray
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(2, cpus)
+
+
+def read_repo_files(input_path: str):
+    import ray
+    # all five input columns are needed downstream; prune nothing here but
+    # keep the explicit list so accidental extra columns never ship
+    return ray.data.read_parquet(
+        input_path, columns=["repo", "path", "commit", "lang", "content"])
+
+
+def build_quads(ds, snapshot=None, num_partitions: int = DEFAULT_PARTITIONS,
+                concurrency: Optional[int] = None, batch_size: int = 128,
+                skip_partitions: Optional[set] = None):
+    """repo-files Dataset → quad Dataset (lazy, streaming)."""
+    import ray
+    if snapshot is None:
+        snapshot = build_context_snapshot()
+    snapshot_ref = ray.put(snapshot)
+    concurrency = concurrency or _default_concurrency()
+
+    ds = ds.map_batches(
+        lambda b: extract_batch(b, num_partitions=num_partitions),
+        batch_format="pyarrow")
+    if skip_partitions:
+        skip = pa.array(sorted(skip_partitions), pa.int32())
+        ds = ds.map_batches(
+            lambda b: b.filter(
+                pc.invert(pc.is_in(b.column("partition_id"),
+                                   value_set=skip))),
+            batch_format="pyarrow")
+    ds = ds.map_batches(
+        ExpandToQuads,
+        fn_constructor_kwargs={"snapshot_ref": snapshot_ref},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+    return ds
+
+
+def run_kg_pipeline(input_path: str, out_dir: str,
+                    num_partitions: int = DEFAULT_PARTITIONS,
+                    concurrency: Optional[int] = None,
+                    batch_size: int = 128,
+                    dedup: bool = True,
+                    resume: bool = True) -> dict:
+    """End-to-end run with resumable partitioned output. Returns metrics."""
+    completed = checkpoint.completed_partitions(out_dir) if resume else set()
+
+    ds = read_repo_files(input_path)
+    quads = build_quads(ds, num_partitions=num_partitions,
+                        concurrency=concurrency, batch_size=batch_size,
+                        skip_partitions=completed)
+    if dedup:
+        quads = dedup_quads(quads)
+
+    data_dir = os.path.join(out_dir, "quads")
+    quads.write_parquet(data_dir, partition_cols=["partition_id"])
+
+    # per-partition metrics from the written files (metadata-only counts)
+    dataset = pads.dataset(data_dir, partitioning="hive")
+    counts: dict[int, int] = {}
+    docs: dict[int, set] = {}
+    for frag in dataset.get_fragments():
+        part = _hive_partition_id(frag.path)
+        counts[part] = counts.get(part, 0) + frag.count_rows()
+    tbl = dataset.to_table(columns=["partition_id", "content_sha256"])
+    import pandas as pd
+    df = tbl.to_pandas()
+    ndocs = df.groupby("partition_id")["content_sha256"].nunique()
+    for part, n in counts.items():
+        if part in completed:
+            continue
+        checkpoint.write_partition_entry(
+            out_dir, part, n_quads=n,
+            n_docs=int(ndocs.get(part, 0)),
+            input_fingerprint=os.path.basename(str(input_path)))
+    total = {"n_quads": int(sum(counts.values())),
+             "n_partitions": len(counts),
+             "resumed_skipped": sorted(completed)}
+    checkpoint.write_job_summary(out_dir, total)
+    return total
+
+
+def _hive_partition_id(path: str) -> int:
+    for seg in path.split(os.sep):
+        if seg.startswith("partition_id="):
+            return int(seg.split("=", 1)[1])
+    return -1
+
+
+def entity_summary(quads_ds):
+    """Entity-linking aggregate: per canonical subject IRI, triple count and
+    referencing-doc count. Skew-safe: partial per-batch combine (vectorized
+    pandas groupby) before the small global groupby-sum (SURVEY.md §2.5).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["subject", "content_sha256"]).to_pandas()
+        g = (df.groupby("subject")
+               .agg(n_quads=("subject", "size"),
+                    n_docs=("content_sha256", "nunique"))
+               .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = quads_ds.map_batches(partial, batch_format="pyarrow")
+    return (partials.groupby("subject")
+            .aggregate(Sum("n_quads", alias_name="n_quads"),
+                       Sum("n_docs", alias_name="n_docs")))
+
+
+def doc_status(ds, snapshot=None, concurrency: Optional[int] = None,
+               batch_size: int = 128,
+               num_partitions: int = DEFAULT_PARTITIONS):
+    """Per-document status/metrics Dataset (quarantine accounting)."""
+    import ray
+    if snapshot is None:
+        snapshot = build_context_snapshot()
+    snapshot_ref = ray.put(snapshot)
+    ds = ds.map_batches(
+        lambda b: extract_batch(b, num_partitions=num_partitions),
+        batch_format="pyarrow")
+    return ds.map_batches(
+        DocStatus,
+        fn_constructor_kwargs={"snapshot_ref": snapshot_ref},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency or _default_concurrency(), num_cpus=1)
+
+
+def repo_files_for_sf_dir(sf_dir: str) -> str:
+    """Resolve (materializing if needed) the synthetic repo-files corpus
+    matching a testdata sf directory (TESTDATA.md scale tiers)."""
+    return repo_files_path(sf_from_dir(sf_dir))

@@ -1,0 +1,66 @@
+"""Quad-level exact dedup: map-side combine + hash-bucketed shuffle.
+
+The pattern (SURVEY.md §2.7/§7.3):
+  1. partial dedup inside each batch — vectorized, removes the bulk of
+     duplicates before any data moves (map-side combiner);
+  2. add a 64-bit quad-hash column and a coarse ``bucket = hash % B``
+     shuffle key — B is small (≈ partitions), so each group is a healthy
+     block, NOT one group per distinct quad (row-granular map_groups
+     would be a per-row Python call — the anti-pattern);
+  3. ``groupby(bucket)`` shuffle + vectorized ``drop_duplicates`` per
+     bucket with a deterministic winner (min content_sha256, then path),
+     so output is identical at any parallelism level.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+QUAD_COLS = ["subject", "predicate", "object_kind", "object_value",
+             "datatype", "language", "graph"]
+
+DEFAULT_BUCKETS = 64
+
+
+def _dedup_df(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values(["content_sha256", "path"], kind="stable")
+    return df.drop_duplicates(subset=QUAD_COLS, keep="first")
+
+
+def partial_dedup_batch(batch: pa.Table) -> pa.Table:
+    """Map-side combiner: drop duplicate quads within one batch."""
+    df = _dedup_df(batch.to_pandas())
+    return pa.Table.from_pandas(df, preserve_index=False,
+                                schema=batch.schema)
+
+
+def add_quad_hash(batch: pa.Table,
+                  num_buckets: int = DEFAULT_BUCKETS) -> pa.Table:
+    """Vectorized 64-bit hash of the quad tuple + coarse shuffle bucket."""
+    df = batch.select(QUAD_COLS).to_pandas()
+    key = (df["subject"].astype(str) + "\x00" + df["predicate"].astype(str)
+           + "\x00" + df["object_kind"].astype(str) + "\x00"
+           + df["object_value"].astype(str) + "\x00"
+           + df["datatype"].fillna("\x01").astype(str) + "\x00"
+           + df["language"].fillna("\x01").astype(str) + "\x00"
+           + df["graph"].astype(str))
+    h = pd.util.hash_array(key.to_numpy(dtype=object)).astype("uint64")
+    batch = batch.append_column("quad_hash", pa.array(h, pa.uint64()))
+    return batch.append_column(
+        "dedup_bucket", pa.array((h % num_buckets).astype("int32"),
+                                 pa.int32()))
+
+
+def _dedup_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    return _dedup_df(group)
+
+
+def dedup_quads(ds, num_buckets: int = DEFAULT_BUCKETS):
+    """Dataset-level exact dedup (global, streaming shuffle)."""
+    ds = ds.map_batches(partial_dedup_batch, batch_format="pyarrow")
+    ds = ds.map_batches(lambda b: add_quad_hash(b, num_buckets),
+                        batch_format="pyarrow")
+    ds = ds.groupby("dedup_bucket").map_groups(_dedup_bucket,
+                                               batch_format="pandas")
+    return ds.drop_columns(["quad_hash", "dedup_bucket"])
