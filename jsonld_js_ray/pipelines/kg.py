@@ -28,13 +28,24 @@ from ..state import checkpoint
 DEFAULT_PARTITIONS = 64
 
 
-def _default_concurrency() -> int:
+def _cluster_cpus() -> int:
     import ray
     try:
-        cpus = int(ray.cluster_resources().get("CPU", 4))
+        return int(ray.cluster_resources().get("CPU", 4))
     except Exception:
-        cpus = 4
-    return max(2, cpus)
+        return 4
+
+
+def _default_concurrency() -> int:
+    # leave headroom for the read / shuffle / write stages: an actor pool
+    # that reserves every CPU starves the rest of the pipeline and can
+    # deadlock the all-to-all shuffle (observed with pool == num_cpus)
+    return max(1, _cluster_cpus() - 2)
+
+
+def _cap_concurrency(requested) -> int:
+    cap = max(1, _cluster_cpus() - 2)
+    return min(requested, cap) if requested else cap
 
 
 def read_repo_files(input_path: str):
@@ -53,7 +64,7 @@ def build_quads(ds, snapshot=None, num_partitions: int = DEFAULT_PARTITIONS,
     if snapshot is None:
         snapshot = build_context_snapshot()
     snapshot_ref = ray.put(snapshot)
-    concurrency = concurrency or _default_concurrency()
+    concurrency = _cap_concurrency(concurrency)
 
     ds = ds.map_batches(
         lambda b: extract_batch(b, num_partitions=num_partitions),
@@ -81,15 +92,34 @@ def run_kg_pipeline(input_path: str, out_dir: str,
                     resume: bool = True) -> dict:
     """End-to-end run with resumable partitioned output. Returns metrics."""
     completed = checkpoint.completed_partitions(out_dir) if resume else set()
+    data_dir = os.path.join(out_dir, "quads")
 
     ds = read_repo_files(input_path)
+    if completed:
+        # cheap pre-scan (read + vectorized extract only — no expansion) to
+        # decide whether any partition remains; avoids an empty all-to-all
+        # shuffle + empty partitioned write on a fully-resumed job
+        probe = ds.map_batches(
+            lambda b: extract_batch(b, num_partitions=num_partitions),
+            batch_format="pyarrow")
+        skip = pa.array(sorted(completed), pa.int32())
+        probe = probe.map_batches(
+            lambda b: b.filter(
+                pc.invert(pc.is_in(b.column("partition_id"),
+                                   value_set=skip))),
+            batch_format="pyarrow")
+        if probe.count() == 0:
+            summary = {"n_quads": 0, "n_partitions": 0,
+                       "resumed_skipped": sorted(completed)}
+            checkpoint.write_job_summary(out_dir, summary)
+            return summary
+
     quads = build_quads(ds, num_partitions=num_partitions,
                         concurrency=concurrency, batch_size=batch_size,
                         skip_partitions=completed)
     if dedup:
         quads = dedup_quads(quads)
 
-    data_dir = os.path.join(out_dir, "quads")
     quads.write_parquet(data_dir, partition_cols=["partition_id"])
 
     # per-partition metrics from the written files (metadata-only counts)
@@ -160,7 +190,7 @@ def doc_status(ds, snapshot=None, concurrency: Optional[int] = None,
         DocStatus,
         fn_constructor_kwargs={"snapshot_ref": snapshot_ref},
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency or _default_concurrency(), num_cpus=1)
+        concurrency=_cap_concurrency(concurrency), num_cpus=1)
 
 
 def repo_files_for_sf_dir(sf_dir: str) -> str:

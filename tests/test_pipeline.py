@@ -1,0 +1,145 @@
+"""End-to-end Ray pipeline tests (FIXTURES.md §4-5 t1 tier):
+sha256 invariant, dedup, determinism across parallelism, resume."""
+
+import hashlib
+import json
+import shutil
+
+import pyarrow.dataset as pads
+import pytest
+
+from jsonld_js_ray.sources.repo_files import generate_repo_files
+from jsonld_js_ray.stages.dedup import QUAD_COLS
+from jsonld_js_ray.stages.expand_quads import ExpandToQuads, doc_quads
+from jsonld_js_ray.stages.extract import extract_batch
+from jsonld_js_ray.core.resolver import ContextResolver
+from jsonld_js_ray.sources.contexts import build_context_snapshot
+
+N = 300
+
+
+@pytest.fixture(scope="module")
+def small_table():
+    return generate_repo_files(N)
+
+
+def test_generator_deterministic(small_table):
+    again = generate_repo_files(N)
+    assert small_table.equals(again)
+
+
+def test_extract_sha256_invariant(small_table):
+    out = extract_batch(small_table)
+    contents = out.column("content").to_pylist()
+    shas = out.column("content_sha256").to_pylist()
+    for c, s in zip(contents, shas):
+        assert hashlib.sha256(c.encode()).hexdigest() == s
+
+
+def test_expand_stage_local(small_table):
+    batch = extract_batch(small_table)
+    stage = ExpandToQuads()  # local snapshot fallback
+    quads = stage(batch)
+    assert quads.num_rows > 200
+    # lineage joins back to input rows
+    in_shas = set(batch.column("content_sha256").to_pylist())
+    assert set(quads.column("content_sha256").to_pylist()) <= in_shas
+    # all bnode labels are doc-prefixed (globally unique by construction)
+    for s in quads.column("subject").to_pylist():
+        if s.startswith("_:"):
+            assert "-b" in s
+    # partition ids consistent per repo
+    pairs = set(zip(quads.column("repo").to_pylist(),
+                    quads.column("partition_id").to_pylist()))
+    per_repo = {}
+    for r, p in pairs:
+        per_repo.setdefault(r, set()).add(p)
+    assert all(len(v) == 1 for v in per_repo.values())
+
+
+def test_doc_quads_matches_api():
+    """Stage kernel output == api.to_rdf on the same doc (modulo prefix)."""
+    from jsonld_js_ray import api
+    doc = {"@context": {"@vocab": "http://v/"}, "@id": "http://v/a",
+           "name": "x", "child": {"name": "y"}}
+    content = json.dumps(doc)
+    resolver = ContextResolver(build_context_snapshot())
+    quads, events = doc_quads(content, resolver)
+    assert quads == api.to_rdf(doc)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRayPipeline:
+    def _run(self, tmp_out, n_cpus_hint=2, dedup=True):
+        import ray
+        from jsonld_js_ray.pipelines.kg import run_kg_pipeline
+        from jsonld_js_ray.sources.repo_files import repo_files_path
+        path = repo_files_path(0.0003)  # 300 rows
+        shutil.rmtree(tmp_out, ignore_errors=True)
+        return run_kg_pipeline(path, tmp_out, concurrency=n_cpus_hint,
+                               dedup=dedup)
+
+    def test_end_to_end_and_resume(self, tmp_path):
+        out = str(tmp_path / "kg")
+        m1 = self._run(out)
+        assert m1["n_quads"] > 100
+        ds = pads.dataset(out + "/quads", partitioning="hive")
+        t = ds.to_table()
+        assert t.num_rows == m1["n_quads"]
+        # no duplicate quads
+        import pandas as pd
+        df = t.to_pandas()
+        assert not df.duplicated(subset=QUAD_COLS).any()
+
+        # resume: second run must skip all completed partitions
+        from jsonld_js_ray.pipelines.kg import run_kg_pipeline
+        from jsonld_js_ray.sources.repo_files import repo_files_path
+        m2 = run_kg_pipeline(repo_files_path(0.0003), out)
+        assert set(m2["resumed_skipped"]) >= set(
+            df["partition_id"].unique().tolist())
+
+    def test_determinism_across_parallelism(self, tmp_path):
+        out1 = str(tmp_path / "p2")
+        out2 = str(tmp_path / "p4")
+        self._run(out1, n_cpus_hint=2)
+        self._run(out2, n_cpus_hint=4)
+        t1 = pads.dataset(out1 + "/quads", partitioning="hive").to_table()
+        t2 = pads.dataset(out2 + "/quads", partitioning="hive").to_table()
+        import pandas as pd
+        key_cols = QUAD_COLS + ["repo", "path", "content_sha256"]
+        d1 = t1.to_pandas()[key_cols].sort_values(key_cols,
+                                                  kind="stable")
+        d2 = t2.to_pandas()[key_cols].sort_values(key_cols,
+                                                  kind="stable")
+        pd.testing.assert_frame_equal(d1.reset_index(drop=True),
+                                      d2.reset_index(drop=True))
+
+    def test_entity_summary(self):
+        import ray
+        from jsonld_js_ray.pipelines.kg import (
+            build_quads, entity_summary, read_repo_files)
+        from jsonld_js_ray.sources.repo_files import repo_files_path
+        quads = build_quads(read_repo_files(repo_files_path(0.0003)),
+                            concurrency=2)
+        ent = entity_summary(quads).to_pandas()
+        assert (ent["n_quads"] > 0).all()
+        assert ent["subject"].is_unique
+
+    def test_doc_status_quarantine(self):
+        import pyarrow as pa
+        import ray
+        from jsonld_js_ray.pipelines.kg import doc_status
+        bad = pa.table({
+            "repo": ["o/r", "o/r"],
+            "path": ["a.jsonld", "b.jsonld"],
+            "commit": ["c", "c"],
+            "lang": ["jsonld", "jsonld"],
+            "content": ['{"@context": 5, "@id": "http://x/a"}',
+                        '{"@id": "http://x/a", "http://p": "v"}'],
+        })
+        ds = ray.data.from_arrow(bad)
+        st = doc_status(ds, concurrency=2).to_pandas()
+        st = st.set_index("path")
+        assert st.loc["a.jsonld", "status"] == "error"
+        assert st.loc["b.jsonld", "status"] == "ok"
+        assert st.loc["b.jsonld", "n_quads"] == 1
