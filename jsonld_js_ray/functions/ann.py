@@ -1,0 +1,154 @@
+"""Similarity search over the ``embeddings`` table.
+
+Baseline: brute-force cosine top-k — numpy matmul per batch against a
+broadcast query matrix (``ray.put`` once, read per actor, never
+re-shipped per batch). Scale path: LSH-bucketed variant (random
+hyperplane signs → bucket groupby → per-bucket brute force)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _matrix(batch_df: pd.DataFrame, col: str = "embedding") -> np.ndarray:
+    return np.stack(batch_df[col].to_numpy()).astype(np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class BruteForceTopK:
+    """Actor-pool stage: per batch, cosine of all rows vs the broadcast
+    query matrix; emits per-(query, row) candidates. A downstream
+    groupby(query).map_groups keeps global top-k."""
+
+    def __init__(self, queries_ref, k: int = 10):
+        import ray
+        q = (ray.get(queries_ref) if not isinstance(queries_ref, dict)
+             else queries_ref)
+        self.query_ids = np.asarray(q["ids"], dtype=np.int64)
+        self.Q = _normalize(np.asarray(q["vectors"], dtype=np.float64))
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        M = _normalize(_matrix(df))
+        sims = M @ self.Q.T                       # (rows, queries)
+        vec_ids = df["vec_id"].to_numpy(dtype=np.int64)
+        out_q, out_v, out_s = [], [], []
+        k = min(self.k, sims.shape[0])
+        for qi in range(sims.shape[1]):
+            col = sims[:, qi]
+            idx = np.argpartition(-col, k - 1)[:k]
+            out_q.append(np.full(k, self.query_ids[qi], dtype=np.int64))
+            out_v.append(vec_ids[idx])
+            out_s.append(col[idx])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+            "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+
+def _topk_group(k):
+    def inner(g: pd.DataFrame) -> pd.DataFrame:
+        # rank on ROUNDED cosine with vec_id tie-break so Ray and the SQL
+        # oracle order identically regardless of last-ulp float noise
+        g = g.copy()
+        g["cosine"] = g["cosine"].round(6)
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True],
+                          kind="stable").head(k)
+        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
+        return g
+    return inner
+
+
+def brute_force_topk(embeddings_ds, query_ids, query_vectors, k: int = 10):
+    """Global top-k per query: per-batch partial top-k (combiner) →
+    groupby(query_id) final top-k. Returns (query_id, vec_id, cosine,
+    rank)."""
+    import ray
+    ref = ray.put({"ids": list(query_ids), "vectors": query_vectors})
+    cands = embeddings_ds.map_batches(
+        BruteForceTopK, fn_constructor_kwargs={"queries_ref": ref, "k": k},
+        batch_format="pyarrow", concurrency=2, num_cpus=1)
+    return cands.groupby("query_id").map_groups(_topk_group(k),
+                                                batch_format="pandas")
+
+
+class HyperplaneLsh:
+    """Scale path: random-hyperplane LSH bucketing. Vectors land in
+    sign-pattern buckets; queries search only their own bucket (and the
+    pipeline can probe neighboring buckets for recall)."""
+
+    def __init__(self, dim: int, n_planes: int = 8, seed: int = 5):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_planes))
+
+    def bucket_of(self, M: np.ndarray) -> np.ndarray:
+        signs = (M @ self.planes) > 0
+        return (signs @ (1 << np.arange(signs.shape[1]))).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        M = _matrix(df)
+        return batch.append_column(
+            "lsh_bucket", pa.array(self.bucket_of(M), pa.int64()))
+
+
+def lsh_topk(embeddings_ds, query_ids, query_vectors, k: int = 10,
+             n_planes: int = 6, seed: int = 5):
+    """IVF/LSH-style ANN: bucket the corpus, search per-bucket only."""
+    Q = np.asarray(query_vectors, dtype=np.float64)
+    dim = Q.shape[1]
+    lsh = HyperplaneLsh(dim, n_planes, seed)
+    q_buckets = lsh.bucket_of(Q)
+
+    bucketed = embeddings_ds.map_batches(
+        HyperplaneLsh,
+        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes,
+                               "seed": seed},
+        batch_format="pyarrow", concurrency=2, num_cpus=1)
+
+    by_bucket: dict[int, list[int]] = {}
+    for qid, qb in zip(query_ids, q_buckets):
+        by_bucket.setdefault(int(qb), []).append(int(qid))
+    qmap = {int(qid): Q[i] for i, qid in enumerate(query_ids)}
+
+    import ray
+    ref = ray.put((by_bucket, qmap))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # broadcast read: object-store get per task, not per row
+        bb, qm = ray.get(ref)
+        bucket = int(g["lsh_bucket"].iloc[0])
+        qids = bb.get(bucket, [])
+        if not qids:
+            return pd.DataFrame({
+                "query_id": pd.Series([], dtype="int64"),
+                "vec_id": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64")})
+        M = _normalize(_matrix(g))
+        vec_ids = g["vec_id"].to_numpy(dtype=np.int64)
+        rows = []
+        for qid in qids:
+            qv = qm[qid]
+            qv = qv / (np.linalg.norm(qv) or 1.0)
+            sims = M @ qv
+            kk = min(k, len(sims))
+            idx = np.argpartition(-sims, kk - 1)[:kk]
+            rows.append(pd.DataFrame({
+                "query_id": np.full(kk, qid, dtype="int64"),
+                "vec_id": vec_ids[idx],
+                "cosine": np.round(sims[idx], 6)}))
+        return pd.concat(rows, ignore_index=True)
+
+    cands = bucketed.groupby("lsh_bucket").map_groups(
+        per_bucket, batch_format="pandas")
+    return cands.groupby("query_id").map_groups(_topk_group(k),
+                                                batch_format="pandas")

@@ -1,0 +1,126 @@
+"""Multimodal column plumbing (image/audio/video as opaque binary).
+
+The decode/resize/frame-sample kernels themselves are STUBBED (image and
+audio libraries are not in this container) behind ``NotImplementedError``
+or a deterministic fake — but the Ray-side plumbing is real and tested:
+typed binary columns + metadata, actor-pool ``map_batches`` signatures,
+small ``batch_size`` for wide binary rows, Arrow-native batch formats
+(binary columns must NOT round-trip through pandas object dtype)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("kind", pa.string()),           # image | audio | video
+    ("payload", pa.large_binary()),  # opaque encoded bytes
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+    ("duration_ms", pa.int32()),
+])
+
+
+def synthesize_media_table(n: int, seed: int = 3) -> pa.Table:
+    """Deterministic fake media rows (payload = seeded bytes)."""
+    rng = np.random.default_rng(seed)
+    kinds = rng.choice(["image", "audio", "video"], size=n)
+    payloads = [rng.integers(0, 256, size=int(rng.integers(256, 4096)),
+                             dtype=np.uint8).tobytes() for _ in range(n)]
+    return pa.table({
+        "media_id": pa.array(np.arange(n, dtype=np.int64)),
+        "kind": pa.array(kinds.tolist(), pa.string()),
+        "payload": pa.array(payloads, pa.large_binary()),
+        "width": pa.array(rng.integers(16, 4096, n).astype("int32")),
+        "height": pa.array(rng.integers(16, 4096, n).astype("int32")),
+        "duration_ms": pa.array(rng.integers(0, 60000, n).astype("int32")),
+    })
+
+
+def real_image_decode(payload: bytes):
+    """The real decode path — requires an imaging library not present in
+    this container. The pipeline wires this through DecodeFeatures with
+    ``use_stub=False`` when deployed with the library available."""
+    raise NotImplementedError(
+        "image decode requires an imaging library (e.g. Pillow/ffmpeg), "
+        "not available in this environment — use the deterministic stub")
+
+
+class DecodeFeatures:
+    """Actor-pool stage: decode + feature-extract per media row.
+
+    Real layout: per-actor decoder state in __init__ (codec tables /
+    model weights), small batches because rows are wide binary. The stub
+    computes deterministic pseudo-features (sha256-derived) so schema,
+    batch sizes, and downstream layout are exercised end-to-end."""
+
+    FEATURE_DIM = 16
+
+    def __init__(self, use_stub: bool = True):
+        self.use_stub = use_stub
+
+    def _stub_features(self, payload: bytes) -> np.ndarray:
+        digest = hashlib.sha256(payload).digest()
+        raw = np.frombuffer(digest[:self.FEATURE_DIM * 2], dtype=np.uint16)
+        return (raw.astype(np.float32) / 65535.0)[:self.FEATURE_DIM]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        kinds = batch.column("kind").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        feats, sizes = [], []
+        for payload in payloads:
+            if not self.use_stub:
+                real_image_decode(payload)
+            feats.append(self._stub_features(payload))
+            sizes.append(len(payload))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "payload_bytes": pa.array(sizes, pa.int64()),
+            "features": pa.array([f.tolist() for f in feats],
+                                 pa.list_(pa.float32())),
+        })
+
+
+def decode_features(media_ds, batch_size: int = 32, concurrency: int = 2):
+    """Wide binary rows → SMALL batch_size so batch × concurrency fits a
+    worker heap (guide: memory-aware batching)."""
+    return media_ds.map_batches(
+        DecodeFeatures, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+
+
+class FrameSampler:
+    """Video frame-sampling plumbing (stub): emits one row per sampled
+    frame index — the 1→N explode shape a real sampler would have."""
+
+    def __init__(self, every_ms: int = 1000):
+        self.every_ms = every_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frame_idx, ts_ms = [], [], []
+        for mid, kind, dur in zip(batch.column("media_id").to_pylist(),
+                                  batch.column("kind").to_pylist(),
+                                  batch.column("duration_ms").to_pylist()):
+            if kind != "video":
+                continue
+            for i, t in enumerate(range(0, max(1, dur), self.every_ms)):
+                ids.append(mid)
+                frame_idx.append(i)
+                ts_ms.append(t)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(frame_idx, pa.int32()),
+            "ts_ms": pa.array(ts_ms, pa.int32()),
+        })
+
+
+def sample_frames(media_ds, every_ms: int = 1000, batch_size: int = 32):
+    return media_ds.map_batches(
+        FrameSampler, fn_constructor_kwargs={"every_ms": every_ms},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=2, num_cpus=1)
