@@ -64,10 +64,11 @@ def _kg_canonical(sf_dir: str):
     ds = read_repo_files(repo_files_for_sf_dir(sf_dir))
     ds = ds.map_batches(extract_batch, batch_format="pyarrow")
     ref = ray.put(build_context_snapshot())
+    from jsonld_js_ray.util_ray import default_concurrency
     return ds.map_batches(CanonizePerDoc,
                           fn_constructor_kwargs={"snapshot_ref": ref},
-                          batch_format="pyarrow", batch_size=128,
-                          concurrency=2, num_cpus=1)
+                          batch_format="pyarrow", batch_size=512,
+                          concurrency=default_concurrency(), num_cpus=1)
 
 
 # ---------------------------------------------------------------------------
@@ -92,8 +93,10 @@ def _doc_quality(sf_dir: str):
 
 def _doc_langid(sf_dir: str):
     from jsonld_js_ray.functions.text import LangId
+    from jsonld_js_ray.util_ray import default_concurrency
     return _docs(sf_dir).map_batches(LangId, batch_format="pyarrow",
-                                     concurrency=2, num_cpus=1)
+                                     concurrency=default_concurrency(8),
+                                     num_cpus=1)
 
 
 def _doc_fingerprint(sf_dir: str):

@@ -1,0 +1,167 @@
+"""Benchmark driver.
+
+Default: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line:
+``{"metric": ..., "value": sec, "unit": "sec", "queries": {...},
+"sf": ..., "num_cpus": N, ...}``.
+
+``--scaling`` runs the headline KG pipeline twice in fresh processes
+(num_cpus=8 then 32) on the SAME input (a larger corpus,
+``$GRAFT_SCALING_ROWS`` rows, default 400k, so the job is
+compute-dominated rather than fixed-overhead-dominated) and reports both
+throughputs plus scaling efficiency (BASELINE.md criterion; two
+parallelism levels stand in for N vs 4N nodes — no real cluster in this
+sandbox). ``--kg-only`` is the single-run worker mode it shells out to.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _init_ray(num_cpus: int):
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.preserve_order = False
+
+
+def _warm(corpus: str):
+    import pyarrow.dataset as pads
+    pads.dataset(corpus).to_table()  # page-cache warm, untimed
+
+
+def _kg_run(corpus: str, num_cpus: int, tag: str) -> tuple[float, dict]:
+    from jsonld_js_ray.pipelines.kg import run_kg_pipeline
+    out_dir = f"/tmp/bench_kg_{tag}_{num_cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    metrics = run_kg_pipeline(corpus, out_dir, resume=False)
+    return round(time.time() - t0, 3), metrics
+
+
+def _bench_once() -> dict:
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    _init_ray(num_cpus)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from jsonld_js_ray.pipelines.kg import repo_files_for_sf_dir
+    from jsonld_js_ray.sources.repo_files import sf_from_dir
+    import __ray_entry__ as entrymod
+
+    sf = sf_from_dir(sf_dir)
+    corpus = repo_files_for_sf_dir(sf_dir)  # materialized once, cached
+    _warm(corpus)
+
+    timings: dict[str, float] = {}
+    extras: dict = {}
+
+    sec, metrics = _kg_run(corpus, num_cpus, "main")
+    timings["kg_pipeline"] = sec
+    extras["n_quads"] = metrics["n_quads"]
+    extras["triples_per_sec"] = round(metrics["n_quads"] / sec, 1)
+
+    qs = entrymod.queries()
+    bench_queries = ["kg_canonical_nquads", "doc_minhash_near_dup",
+                     "ann_brute_force_topk", "q1_pricing_summary",
+                     "events_sessions", "doc_exact_dedup"]
+    for name in bench_queries:
+        t0 = time.time()
+        res = qs[name](sf_dir)
+        try:
+            import ray.data as rd
+            if isinstance(res, rd.Dataset):
+                n = res.count()   # consume the stream; no driver materialize
+            else:
+                n = len(res)
+        except Exception:
+            n = -1
+        timings[name] = round(time.time() - t0, 3)
+        extras.setdefault("rows", {})[name] = n
+
+    import ray
+    ray.shutdown()
+    return {
+        "metric": "kg_pipeline_total_sec",
+        "value": timings["kg_pipeline"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        **extras,
+    }
+
+
+def _kg_only() -> dict:
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    n_rows = int(os.environ.get("GRAFT_ROWS", "400000"))
+    _init_ray(num_cpus)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from jsonld_js_ray.sources.repo_files import repo_files_path_n
+    corpus = repo_files_path_n(n_rows)
+    _warm(corpus)
+    sec, metrics = _kg_run(corpus, num_cpus, "scaling")
+    import ray
+    ray.shutdown()
+    return {"metric": "kg_pipeline_total_sec", "value": sec,
+            "unit": "sec", "num_cpus": num_cpus, "n_rows": n_rows,
+            "n_quads": metrics["n_quads"],
+            "triples_per_sec": round(metrics["n_quads"] / sec, 1)}
+
+
+def _run_subprocess(ncpu: int, rows: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+               GRAFT_ROWS=str(rows))
+    out = subprocess.run([sys.executable, os.path.abspath(__file__),
+                          "--kg-only"], env=env, capture_output=True,
+                         text=True, check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main():
+    if "--kg-only" in sys.argv:
+        print(json.dumps(_kg_only()))
+        return
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        rows = int(os.environ.get("GRAFT_SCALING_ROWS", "400000"))
+        # pre-materialize the corpus (cached) so neither run pays generation
+        _init_ray(int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from jsonld_js_ray.sources.repo_files import repo_files_path_n
+        repo_files_path_n(rows)
+        import ray
+        ray.shutdown()
+
+        r_lo = _run_subprocess(lo, rows)
+        r_hi = _run_subprocess(hi, rows)
+        t_lo, t_hi = r_lo["value"], r_hi["value"]
+        eff = (t_lo / t_hi) / (hi / lo)
+        print(json.dumps({
+            "metric": "scaling_efficiency",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "sec_lo": t_lo, "sec_hi": t_hi,
+            "cpus_lo": lo, "cpus_hi": hi,
+            "n_rows": rows,
+            "triples_per_sec_lo": r_lo.get("triples_per_sec"),
+            "triples_per_sec_hi": r_hi.get("triples_per_sec"),
+        }))
+        return
+    print(json.dumps(_bench_once()))
+
+
+if __name__ == "__main__":
+    main()

@@ -11,6 +11,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..util_ray import default_concurrency
+
 
 def _matrix(batch_df: pd.DataFrame, col: str = "embedding") -> np.ndarray:
     return np.stack(batch_df[col].to_numpy()).astype(np.float64)
@@ -76,7 +78,7 @@ def brute_force_topk(embeddings_ds, query_ids, query_vectors, k: int = 10):
     ref = ray.put({"ids": list(query_ids), "vectors": query_vectors})
     cands = embeddings_ds.map_batches(
         BruteForceTopK, fn_constructor_kwargs={"queries_ref": ref, "k": k},
-        batch_format="pyarrow", concurrency=2, num_cpus=1)
+        batch_format="pyarrow", concurrency=default_concurrency(8), num_cpus=1)
     return cands.groupby("query_id").map_groups(_topk_group(k),
                                                 batch_format="pandas")
 
@@ -113,7 +115,7 @@ def lsh_topk(embeddings_ds, query_ids, query_vectors, k: int = 10,
         HyperplaneLsh,
         fn_constructor_kwargs={"dim": dim, "n_planes": n_planes,
                                "seed": seed},
-        batch_format="pyarrow", concurrency=2, num_cpus=1)
+        batch_format="pyarrow", concurrency=default_concurrency(8), num_cpus=1)
 
     by_bucket: dict[int, list[int]] = {}
     for qid, qb in zip(query_ids, q_buckets):

@@ -15,6 +15,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..util_ray import default_concurrency
+
 _MERSENNE = (1 << 61) - 1
 
 
@@ -109,7 +111,7 @@ def minhash_candidate_pairs(docs_ds, num_perm=64, bands=16, k=5):
     banded = docs_ds.map_batches(
         MinHasher, fn_constructor_kwargs={
             "num_perm": num_perm, "bands": bands, "k": k},
-        batch_format="pyarrow", concurrency=2, num_cpus=1)
+        batch_format="pyarrow", concurrency=default_concurrency(8), num_cpus=1)
     pairs = (banded.groupby(["band_id", "band_hash"])
              .map_groups(_bucket_pairs, batch_format="pandas"))
 

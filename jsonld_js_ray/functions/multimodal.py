@@ -14,6 +14,8 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from ..util_ray import default_concurrency
+
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
     ("kind", pa.string()),           # image | audio | video
@@ -91,7 +93,7 @@ def decode_features(media_ds, batch_size: int = 32, concurrency: int = 2):
     worker heap (guide: memory-aware batching)."""
     return media_ds.map_batches(
         DecodeFeatures, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1)
+        concurrency=default_concurrency(concurrency), num_cpus=1)
 
 
 class FrameSampler:
@@ -123,4 +125,4 @@ def sample_frames(media_ds, every_ms: int = 1000, batch_size: int = 32):
     return media_ds.map_batches(
         FrameSampler, fn_constructor_kwargs={"every_ms": every_ms},
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=2, num_cpus=1)
+        concurrency=default_concurrency(4), num_cpus=1)

@@ -11,6 +11,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..util_ray import default_concurrency
+
 
 def lineitem_pricing_summary(lineitem_ds):
     """TPC-H Q1-shaped aggregate with map-side partial aggregation:
@@ -73,7 +75,7 @@ def customer_nation_revenue(orders_ds, customer_df, nation_df):
             return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = orders_ds.map_batches(JoinDim, batch_format="pyarrow",
-                                     concurrency=2, num_cpus=1)
+                                     concurrency=default_concurrency(8), num_cpus=1)
     out = (partials.groupby("n_name")
            .aggregate(Sum("revenue", alias_name="revenue"),
                       Sum("n_orders", alias_name="n_orders")))

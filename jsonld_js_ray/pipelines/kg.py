@@ -20,7 +20,7 @@ import pyarrow.dataset as pads
 
 from ..sources.contexts import build_context_snapshot
 from ..sources.repo_files import repo_files_path, sf_from_dir
-from ..stages.dedup import dedup_quads
+from ..stages.dedup import dedup_quads, dedup_quads_per_partition
 from ..stages.expand_quads import DocStatus, ExpandToQuads
 from ..stages.extract import extract_batch
 from ..state import checkpoint
@@ -28,24 +28,7 @@ from ..state import checkpoint
 DEFAULT_PARTITIONS = 64
 
 
-def _cluster_cpus() -> int:
-    import ray
-    try:
-        return int(ray.cluster_resources().get("CPU", 4))
-    except Exception:
-        return 4
-
-
-def _default_concurrency() -> int:
-    # leave headroom for the read / shuffle / write stages: an actor pool
-    # that reserves every CPU starves the rest of the pipeline and can
-    # deadlock the all-to-all shuffle (observed with pool == num_cpus)
-    return max(1, _cluster_cpus() - 2)
-
-
-def _cap_concurrency(requested) -> int:
-    cap = max(1, _cluster_cpus() - 2)
-    return min(requested, cap) if requested else cap
+from ..util_ray import default_concurrency as _cap_concurrency
 
 
 def read_repo_files(input_path: str):
@@ -57,7 +40,7 @@ def read_repo_files(input_path: str):
 
 
 def build_quads(ds, snapshot=None, num_partitions: int = DEFAULT_PARTITIONS,
-                concurrency: Optional[int] = None, batch_size: int = 128,
+                concurrency: Optional[int] = None, batch_size: int = 1024,
                 skip_partitions: Optional[set] = None):
     """repo-files Dataset → quad Dataset (lazy, streaming)."""
     import ray
@@ -87,8 +70,8 @@ def build_quads(ds, snapshot=None, num_partitions: int = DEFAULT_PARTITIONS,
 def run_kg_pipeline(input_path: str, out_dir: str,
                     num_partitions: int = DEFAULT_PARTITIONS,
                     concurrency: Optional[int] = None,
-                    batch_size: int = 128,
-                    dedup: bool = True,
+                    batch_size: int = 1024,
+                    dedup="partition",
                     resume: bool = True) -> dict:
     """End-to-end run with resumable partitioned output. Returns metrics."""
     completed = checkpoint.completed_partitions(out_dir) if resume else set()
@@ -117,9 +100,20 @@ def run_kg_pipeline(input_path: str, out_dir: str,
     quads = build_quads(ds, num_partitions=num_partitions,
                         concurrency=concurrency, batch_size=batch_size,
                         skip_partitions=completed)
-    if dedup:
+    # One groupby(partition_id) shuffle serves double duty: dedup scope AND
+    # output co-location (one block → one file per hive partition; without
+    # it every block × partition pair becomes a tiny file — observed 1700+
+    # files for 21k rows). dedup="global" adds a quad-hash shuffle first
+    # for strict cross-partition dedup.
+    if dedup == "global":
         quads = dedup_quads(quads)
-
+        quads = quads.groupby("partition_id").map_groups(
+            lambda df: df, batch_format="pandas")
+    elif dedup:
+        quads = dedup_quads_per_partition(quads)
+    else:
+        quads = quads.groupby("partition_id").map_groups(
+            lambda df: df, batch_format="pandas")
     quads.write_parquet(data_dir, partition_cols=["partition_id"])
 
     # per-partition metrics from the written files (metadata-only counts)

@@ -7,8 +7,9 @@ Per BASELINE.json ``input_hint`` the pipeline's input is a Parquet table
 benchmarks, caches it as Parquet under /tmp, and returns the path — the
 pipeline then genuinely ``read_parquet``s it like any other source.
 
-Zipf-ish repo skew: repo r gets ~1/(r+1) of the files, so a handful of
-repos are hot — exercising the salted-partitioning path at scale."""
+Every row is generated independently from ``hash(seed, i)`` (including its
+Zipf-ish repo assignment via inverse-CDF sampling), so shards can be
+generated in parallel Ray tasks for large benchmark corpora."""
 
 from __future__ import annotations
 
@@ -24,7 +25,7 @@ import pyarrow.parquet as pq
 from .contexts import CHAIN, SCHEMA_LIKE, SMALL1, SMALL2
 
 SEED = 42
-CACHE_ROOT = "/tmp/graft_repo_files"
+CACHE_ROOT = "/tmp/graft_repo_files_v2"
 
 _LANG_OTHER = ["py", "md", "txt", "yaml"]
 
@@ -92,19 +93,20 @@ def _non_jsonld_content(rng: random.Random, lang: str, i: int) -> str:
     return f"plain text file {i}\n"
 
 
-def generate_repo_files(n_rows: int, seed: int = SEED) -> pa.Table:
-    """Deterministic table of n_rows repo files (~60% JSON-LD)."""
-    rng_repo = np.random.default_rng(seed)
-    n_repos = max(4, n_rows // 50)
-    # Zipf-ish skew over repos
-    zipf_weights = 1.0 / np.arange(1, n_repos + 1)
-    zipf_weights /= zipf_weights.sum()
-    repo_idx = rng_repo.choice(n_repos, size=n_rows, p=zipf_weights)
+def _zipf_cdf(n_repos: int) -> np.ndarray:
+    w = 1.0 / np.arange(1, n_repos + 1)
+    return np.cumsum(w / w.sum())
 
+
+def generate_rows(lo: int, hi: int, n_rows_total: int,
+                  seed: int = SEED) -> pa.Table:
+    """Rows [lo, hi) of the deterministic corpus of n_rows_total rows."""
+    n_repos = max(4, n_rows_total // 50)
+    cdf = _zipf_cdf(n_repos)
     repos, paths, commits, langs, contents = [], [], [], [], []
-    for i in range(n_rows):
+    for i in range(lo, hi):
         rng = random.Random(seed * 1_000_003 + i)
-        r = int(repo_idx[i])
+        r = int(np.searchsorted(cdf, rng.random()))
         repo = f"org{r % 13}/repo{r}"
         commit = hashlib.sha1(f"{repo}@{seed}".encode()).hexdigest()
         if rng.random() < 0.6:
@@ -131,6 +133,10 @@ def generate_repo_files(n_rows: int, seed: int = SEED) -> pa.Table:
     })
 
 
+def generate_repo_files(n_rows: int, seed: int = SEED) -> pa.Table:
+    return generate_rows(0, n_rows, n_rows, seed)
+
+
 def sf_from_dir(sf_dir: str) -> float:
     """Parse the scale factor out of a testdata dir name (sf0.01 → 0.01)."""
     base = os.path.basename(os.path.normpath(sf_dir))
@@ -147,27 +153,50 @@ def n_rows_for_sf(sf: float) -> int:
     return max(200, int(sf * 1_000_000))
 
 
-def repo_files_path(sf: float, seed: int = SEED,
-                    num_shards: int = 8) -> str:
+def repo_files_path_n(n: int, seed: int = SEED,
+                      num_shards: int | None = None) -> str:
     """Materialize (once) and return the cached Parquet directory.
 
-    Written as ``num_shards`` row-grouped files so Ray's read produces
-    well-sized parallel blocks, mirroring how a real corpus would arrive
-    sharded."""
-    n = n_rows_for_sf(sf)
+    Written as sharded files so Ray's read produces well-sized parallel
+    blocks. Generation parallelizes over Ray tasks when a Ray session is
+    up (each shard is independently derivable)."""
+    if num_shards is None:
+        num_shards = max(8, min(64, n // 10_000))
     out_dir = os.path.join(CACHE_ROOT, f"n{n}-seed{seed}")
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
         return out_dir
     tmp_dir = out_dir + ".tmp"
     os.makedirs(tmp_dir, exist_ok=True)
-    table = generate_repo_files(n, seed)
     shard_size = (n + num_shards - 1) // num_shards
-    for s in range(num_shards):
-        shard = table.slice(s * shard_size, shard_size)
-        if shard.num_rows:
-            pq.write_table(shard, os.path.join(tmp_dir,
-                                               f"part-{s:05d}.parquet"))
+    bounds = [(s, min(n, s + shard_size))
+              for s in range(0, n, shard_size)]
+
+    use_ray = False
+    try:
+        import ray
+        use_ray = ray.is_initialized() and n >= 50_000
+    except ImportError:
+        pass
+
+    if use_ray:
+        import ray
+
+        @ray.remote(num_cpus=1)
+        def _gen(lo, hi, idx):
+            t = generate_rows(lo, hi, n, seed)
+            pq.write_table(t, os.path.join(tmp_dir,
+                                           f"part-{idx:05d}.parquet"))
+            return t.num_rows
+
+        ray.get([_gen.remote(lo, hi, idx)
+                 for idx, (lo, hi) in enumerate(bounds)])
+    else:
+        for idx, (lo, hi) in enumerate(bounds):
+            t = generate_rows(lo, hi, n, seed)
+            pq.write_table(t, os.path.join(tmp_dir,
+                                           f"part-{idx:05d}.parquet"))
+
     os.makedirs(out_dir, exist_ok=True)
     for f in os.listdir(tmp_dir):
         os.replace(os.path.join(tmp_dir, f), os.path.join(out_dir, f))
@@ -175,3 +204,8 @@ def repo_files_path(sf: float, seed: int = SEED,
     with open(done, "w") as fh:
         fh.write(str(n))
     return out_dir
+
+
+def repo_files_path(sf: float, seed: int = SEED,
+                    num_shards: int | None = None) -> str:
+    return repo_files_path_n(n_rows_for_sf(sf), seed, num_shards)

@@ -64,3 +64,16 @@ def dedup_quads(ds, num_buckets: int = DEFAULT_BUCKETS):
     ds = ds.groupby("dedup_bucket").map_groups(_dedup_bucket,
                                                batch_format="pandas")
     return ds.drop_columns(["quad_hash", "dedup_bucket"])
+
+
+def dedup_quads_per_partition(ds):
+    """Partition-scoped dedup fused with the output-layout shuffle.
+
+    ONE ``groupby(partition_id)`` both co-locates each output partition
+    (one block → one file in the hive write) and drops duplicate quads
+    within it — the common case, since subjects embed the repo and
+    ``partition_id = hash(repo)``, so duplicates rarely cross partitions.
+    Use ``dedup_quads`` (two shuffles) when strict global dedup matters."""
+    ds = ds.map_batches(partial_dedup_batch, batch_format="pyarrow")
+    return ds.groupby("partition_id").map_groups(_dedup_bucket,
+                                                 batch_format="pandas")
