@@ -59,8 +59,14 @@ DOC_STATUS_SCHEMA = pa.schema([
 def doc_quads(content: str, resolver: ContextResolver,
               base: Optional[str] = None,
               prefix_bnodes_with: Optional[str] = None,
-              options: Optional[dict] = None):
-    """content (JSON text) → (quads, events). Pure per-document kernel."""
+              options: Optional[dict] = None,
+              canonical_bnodes: bool = False):
+    """content (JSON text) → (quads, events). Pure per-document kernel.
+
+    ``canonical_bnodes`` relabels each document's blank nodes with their
+    RDFC-1.0 canonical labels (``_:c14n<n>``) before the sha prefix —
+    content-derived, hence stable under ANY partitioning (SURVEY.md
+    §4.4c); falls back to issuance order on poison graphs."""
     doc = json.loads(content)
     opts = {"base": base, "processingMode": "json-ld-1.1",
             "context_resolver": resolver}
@@ -68,6 +74,12 @@ def doc_quads(content: str, resolver: ContextResolver,
         opts.update(options)
     expanded = expand_document(doc, opts)
     quads = to_rdf(expanded, {**opts, "issuer": IdentifierIssuer("_:b")})
+    if canonical_bnodes:
+        from ..core.canonize import canonize_quads
+        try:
+            quads = canonize_quads(quads, max_deep_iterations=1000)
+        except JsonLdError:
+            pass  # poison graph: keep issuance-order labels
     if prefix_bnodes_with:
         pre = f"_:{prefix_bnodes_with}-"
 
@@ -85,7 +97,8 @@ class ExpandToQuads:
     """Actor-pool stage: Arrow batch of repo files → Arrow batch of quads."""
 
     def __init__(self, snapshot_ref=None, base: Optional[str] = None,
-                 prefix_bnodes: bool = True, safe: bool = False):
+                 prefix_bnodes: bool = True, safe: bool = False,
+                 canonical_bnodes: bool = True):
         import ray
         if snapshot_ref is None:
             from ..sources.contexts import build_context_snapshot
@@ -98,6 +111,7 @@ class ExpandToQuads:
         self.base = base
         self.prefix_bnodes = prefix_bnodes
         self.safe = safe
+        self.canonical_bnodes = canonical_bnodes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cols = {name: [] for name in QUAD_SCHEMA.names}
@@ -119,7 +133,8 @@ class ExpandToQuads:
                     contents[i], self.resolver, base=self.base,
                     prefix_bnodes_with=shas[i][:16]
                     if self.prefix_bnodes else None,
-                    options={"safe": self.safe})
+                    options={"safe": self.safe},
+                    canonical_bnodes=self.canonical_bnodes)
             except (JsonLdError, ValueError, RecursionError, KeyError,
                     TypeError):
                 # quarantine path: malformed / poison docs emit no quads;

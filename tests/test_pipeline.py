@@ -45,9 +45,10 @@ def test_expand_stage_local(small_table):
     in_shas = set(batch.column("content_sha256").to_pylist())
     assert set(quads.column("content_sha256").to_pylist()) <= in_shas
     # all bnode labels are doc-prefixed (globally unique by construction)
+    # and RDFC-1.0-canonical within the doc
     for s in quads.column("subject").to_pylist():
         if s.startswith("_:"):
-            assert "-b" in s
+            assert "-c14n" in s or "-b" in s
     # partition ids consistent per repo
     pairs = set(zip(quads.column("repo").to_pylist(),
                     quads.column("partition_id").to_pylist()))
