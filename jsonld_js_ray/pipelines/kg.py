@@ -72,6 +72,7 @@ def run_kg_pipeline(input_path: str, out_dir: str,
                     concurrency: Optional[int] = None,
                     batch_size: int = 1024,
                     dedup="partition",
+                    write_mode: str = "stream",
                     resume: bool = True) -> dict:
     """End-to-end run with resumable partitioned output. Returns metrics."""
     completed = checkpoint.completed_partitions(out_dir) if resume else set()
@@ -97,36 +98,69 @@ def run_kg_pipeline(input_path: str, out_dir: str,
             checkpoint.write_job_summary(out_dir, summary)
             return summary
 
-    quads = build_quads(ds, num_partitions=num_partitions,
-                        concurrency=concurrency, batch_size=batch_size,
-                        skip_partitions=completed)
-    # One groupby(partition_id) shuffle serves double duty: dedup scope AND
-    # output co-location (one block → one file per hive partition; without
-    # it every block × partition pair becomes a tiny file — observed 1700+
-    # files for 21k rows). dedup="global" adds a quad-hash shuffle first
-    # for strict cross-partition dedup.
-    if dedup == "global":
-        quads = dedup_quads(quads)
-        quads = quads.groupby("partition_id").map_groups(
-            lambda df: df, batch_format="pandas")
-    elif dedup:
-        quads = dedup_quads_per_partition(quads)
+    if write_mode == "stream":
+        # streaming hash exchange into writer actors: no all-to-all
+        # barrier; the sort-shuffle reduce did not scale on this box
+        # (see stages/partition_sink.py)
+        from ..stages.dedup import add_quad_hash, partial_dedup_batch
+        from ..stages.partition_sink import WriterPool, make_router
+        from ..util_ray import cluster_cpus
+        cpus = cluster_cpus()
+        num_writers = max(2, min(16, cpus // 4))
+        expand_conc = _cap_concurrency(concurrency)
+        quads = build_quads(ds, num_partitions=num_partitions,
+                            concurrency=min(expand_conc,
+                                            max(1, cpus - num_writers
+                                                - 1)),
+                            batch_size=batch_size,
+                            skip_partitions=completed)
+        if dedup:
+            quads = quads.map_batches(partial_dedup_batch,
+                                      batch_format="pyarrow")
+            quads = quads.map_batches(
+                lambda b: add_quad_hash(b, None), batch_format="pyarrow")
+        pool = WriterPool(data_dir, num_writers, dedup=bool(dedup))
+        routed = quads.map_batches(
+            make_router(pool.handles(), num_writers),
+            batch_format="pyarrow")
+        routed.count()  # drive the stream to completion
+        merged = pool.finalize()
+        pool.shutdown()
+        counts = {pid: e["n_quads"] for pid, e in merged.items()}
+        ndocs = {pid: e["n_docs"] for pid, e in merged.items()}
     else:
-        quads = quads.groupby("partition_id").map_groups(
-            lambda df: df, batch_format="pandas")
-    quads.write_parquet(data_dir, partition_cols=["partition_id"])
+        quads = build_quads(ds, num_partitions=num_partitions,
+                            concurrency=concurrency,
+                            batch_size=batch_size,
+                            skip_partitions=completed)
+        # One groupby(partition_id) shuffle serves double duty: dedup
+        # scope AND output co-location (one block → one file per hive
+        # partition; without it every block × partition pair becomes its
+        # own tiny file — observed 1700+ files for 21k rows).
+        # dedup="global" adds a quad-hash shuffle first for strict
+        # cross-partition dedup.
+        if dedup == "global":
+            quads = dedup_quads(quads)
+            quads = quads.groupby("partition_id").map_groups(
+                lambda df: df, batch_format="pandas")
+        elif dedup:
+            quads = dedup_quads_per_partition(quads)
+        else:
+            quads = quads.groupby("partition_id").map_groups(
+                lambda df: df, batch_format="pandas")
+        quads.write_parquet(data_dir, partition_cols=["partition_id"])
 
-    # per-partition metrics from the written files (metadata-only counts)
-    dataset = pads.dataset(data_dir, partitioning="hive")
-    counts: dict[int, int] = {}
-    docs: dict[int, set] = {}
-    for frag in dataset.get_fragments():
-        part = _hive_partition_id(frag.path)
-        counts[part] = counts.get(part, 0) + frag.count_rows()
-    tbl = dataset.to_table(columns=["partition_id", "content_sha256"])
-    import pandas as pd
-    df = tbl.to_pandas()
-    ndocs = df.groupby("partition_id")["content_sha256"].nunique()
+        # per-partition metrics from the written files
+        dataset = pads.dataset(data_dir, partitioning="hive")
+        counts = {}
+        for frag in dataset.get_fragments():
+            part = _hive_partition_id(frag.path)
+            counts[part] = counts.get(part, 0) + frag.count_rows()
+        tbl = dataset.to_table(columns=["partition_id", "content_sha256"])
+        df = tbl.to_pandas()
+        ndocs = (df.groupby("partition_id")["content_sha256"].nunique()
+                 .to_dict())
+
     for part, n in counts.items():
         if part in completed:
             continue

@@ -36,8 +36,9 @@ def partial_dedup_batch(batch: pa.Table) -> pa.Table:
 
 
 def add_quad_hash(batch: pa.Table,
-                  num_buckets: int = DEFAULT_BUCKETS) -> pa.Table:
-    """Vectorized 64-bit hash of the quad tuple + coarse shuffle bucket."""
+                  num_buckets: int | None = DEFAULT_BUCKETS) -> pa.Table:
+    """Vectorized 64-bit hash of the quad tuple (+ optional coarse
+    shuffle bucket)."""
     df = batch.select(QUAD_COLS).to_pandas()
     key = (df["subject"].astype(str) + "\x00" + df["predicate"].astype(str)
            + "\x00" + df["object_kind"].astype(str) + "\x00"
@@ -47,6 +48,8 @@ def add_quad_hash(batch: pa.Table,
            + df["graph"].astype(str))
     h = pd.util.hash_array(key.to_numpy(dtype=object)).astype("uint64")
     batch = batch.append_column("quad_hash", pa.array(h, pa.uint64()))
+    if num_buckets is None:
+        return batch
     return batch.append_column(
         "dedup_bucket", pa.array((h % num_buckets).astype("int32"),
                                  pa.int32()))

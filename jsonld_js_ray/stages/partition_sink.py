@@ -1,0 +1,167 @@
+"""Streaming partitioned sink: writer-actor hash exchange.
+
+Replaces the ``groupby(partition_id)`` sort barrier (an all-to-all whose
+reduce phase did not scale on the target box) with the raw-actor pattern
+the Dataset API cannot express (see /opt/skills/guides note on dropping
+to actors only for shared mutable state): a small pool of
+``PartitionWriter`` actors, each owning ``partition_id % W`` partitions.
+Upstream ``map_batches`` tasks split every batch by partition and ship
+each sub-table to its owner actor through the object store (zero-copy
+Arrow); each task ``ray.get``s its send acks, which is the backpressure.
+
+Each actor holds the mutable per-partition state exact global dedup
+needs — a seen-set of 64-bit quad hashes — and flushes per-partition
+Parquet files plus manifest counts at finalize. Rows within one flush
+window are deduped with the deterministic winner (min content_sha256,
+then path); across flush windows first-write-wins (documented
+relaxation at >memory scale).
+
+Fault story: a lost writer loses only its partitions; they are absent
+from the manifest, so a resumed run recomputes exactly those
+(state/checkpoint.py)."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .dedup import QUAD_COLS
+
+ACK_BATCH = 8  # outstanding sends per routing task before ray.get
+
+
+def _writer_class():
+    import ray
+
+    @ray.remote(num_cpus=0.5, max_restarts=0)
+    class PartitionWriter:
+        def __init__(self, out_dir: str, writer_id: int,
+                     dedup: bool = True, flush_rows: int = 2_000_000):
+            self.out_dir = out_dir
+            self.writer_id = writer_id
+            self.dedup = dedup
+            self.flush_rows = flush_rows
+            self.buffers: dict[int, list[pa.Table]] = {}
+            self.buffered_rows = 0
+            self.flushed: dict[int, int] = {}   # pid -> rows written
+            self.docs: dict[int, set] = {}      # pid -> content shas
+            self.seen: dict[int, set] = {}      # pid -> flushed quad hashes
+            self.file_idx = 0
+
+        def add(self, pid: int, table: pa.Table) -> int:
+            self.buffers.setdefault(pid, []).append(table)
+            self.buffered_rows += table.num_rows
+            if self.buffered_rows >= self.flush_rows:
+                self._flush()
+            return table.num_rows
+
+        def _flush(self):
+            for pid, tables in list(self.buffers.items()):
+                if not tables:
+                    continue
+                df = pa.concat_tables(tables).to_pandas()
+                if self.dedup:
+                    df = df.sort_values(["content_sha256", "path"],
+                                        kind="stable")
+                    df = df.drop_duplicates(subset=QUAD_COLS, keep="first")
+                    seen = self.seen.setdefault(pid, set())
+                    if seen:
+                        df = df[~df["quad_hash"].isin(seen)]
+                    seen.update(df["quad_hash"].tolist())
+                self.docs.setdefault(pid, set()).update(
+                    df["content_sha256"].unique().tolist())
+                part_dir = os.path.join(self.out_dir,
+                                        f"partition_id={pid}")
+                os.makedirs(part_dir, exist_ok=True)
+                out = df.drop(columns=["quad_hash", "partition_id"],
+                              errors="ignore")
+                path = os.path.join(
+                    part_dir,
+                    f"part-w{self.writer_id:03d}-{self.file_idx:05d}"
+                    ".parquet")
+                pq.write_table(
+                    pa.Table.from_pandas(out, preserve_index=False), path)
+                self.file_idx += 1
+                self.flushed[pid] = self.flushed.get(pid, 0) + len(df)
+                self.buffers[pid] = []
+            self.buffered_rows = 0
+
+        def finalize(self) -> dict:
+            self._flush()
+            return {
+                "writer_id": self.writer_id,
+                "partitions": {int(pid): {
+                    "n_quads": int(n),
+                    "n_docs": len(self.docs.get(pid, ())),
+                } for pid, n in self.flushed.items()},
+            }
+
+    return PartitionWriter
+
+
+class WriterPool:
+    def __init__(self, out_dir: str, num_writers: int,
+                 dedup: bool = True, flush_rows: int = 2_000_000):
+        cls = _writer_class()
+        self.num_writers = num_writers
+        self.actors = [
+            cls.remote(out_dir, w, dedup=dedup, flush_rows=flush_rows)
+            for w in range(num_writers)]
+
+    def handles(self):
+        return list(self.actors)
+
+    def finalize(self) -> dict:
+        import ray
+        stats = ray.get([a.finalize.remote() for a in self.actors])
+        merged: dict[int, dict] = {}
+        for st in stats:
+            for pid, entry in st["partitions"].items():
+                cur = merged.setdefault(int(pid),
+                                        {"n_quads": 0, "n_docs": 0})
+                cur["n_quads"] += entry["n_quads"]
+                cur["n_docs"] += entry["n_docs"]
+        return merged
+
+    def shutdown(self):
+        import ray
+        for a in self.actors:
+            ray.kill(a)
+
+
+def make_router(handles: list, num_writers: int):
+    """A map_batches function that routes each batch's rows to their
+    partition's owner actor. Sends are acked before the task returns —
+    that ack IS the streaming backpressure."""
+    import numpy as np
+    import ray
+
+    def route(batch: pa.Table) -> pa.Table:
+        if batch.num_rows:
+            pids = batch.column("partition_id").to_numpy(
+                zero_copy_only=False)
+            order = np.argsort(pids, kind="stable")
+            sorted_tbl = batch.take(pa.array(order))
+            sorted_pids = pids[order]
+            bounds = np.flatnonzero(np.diff(sorted_pids)) + 1
+            starts = np.concatenate([[0], bounds])
+            ends = np.concatenate([bounds, [len(sorted_pids)]])
+            refs = []
+            for s, e in zip(starts, ends):
+                pid = int(sorted_pids[s])
+                sub = sorted_tbl.slice(int(s), int(e - s))
+                actor = handles[pid % num_writers]
+                refs.append(actor.add.remote(pid, sub))
+                if len(refs) >= ACK_BATCH:
+                    ray.get(refs)
+                    refs = []
+            if refs:
+                ray.get(refs)
+        return pa.table({"rows_routed": pa.array([batch.num_rows],
+                                                 pa.int64())})
+
+    return route
