@@ -85,6 +85,61 @@ def from_rdf(dataset, options: Optional[dict] = None):
     return from_rdf_quads(dataset, options)
 
 
+def merge(docs: list, ctx=None, options: Optional[dict] = None):
+    """Merge multiple JSON-LD documents into one flattened document
+    (cf. reference jsonld.js:770-857): expand each, relabel blank nodes
+    with a per-document ``_:b<i>-`` prefix so they never collide, build a
+    shared node map, fold named graphs, sort by @id, optionally compact.
+
+    ``mergeNodes=False`` keeps only the first complete definition of each
+    node id (later documents may still add to @graph entries)."""
+    from .core.node_map import create_node_map, merge_node_maps
+    options = _opts(options)
+    merge_nodes = options.get("mergeNodes", True)
+    graph_map: dict = {"@default": {}}
+    for i, doc in enumerate(docs):
+        expanded = expand_document(doc, options)
+        issuer = IdentifierIssuer(f"_:b{i}-")
+        if merge_nodes:
+            create_node_map(expanded, graph_map, "@default", issuer)
+        else:
+            # keep-first semantics: build this doc's node map fresh, then
+            # fold in only ids the target does not already define
+            staging: dict = {"@default": {}}
+            create_node_map(expanded, staging, "@default", issuer)
+            for g, m in staging.items():
+                target = graph_map.setdefault(g, {})
+                for node_id, node in m.items():
+                    existing = target.get(node_id)
+                    if existing is None or (len(existing) == 1
+                                            and "@id" in existing):
+                        target[node_id] = node
+    default_graph = merge_node_maps(graph_map)
+    flattened = []
+    for node_id in sorted(default_graph.keys()):
+        node = default_graph[node_id]
+        if len(node) == 1 and "@id" in node:
+            continue
+        flattened.append(node)
+    if ctx is None:
+        return flattened
+    from .core.compact import compact_document
+    return compact_document(flattened, ctx, options, from_flatten=True)
+
+
+def link(document, ctx=None, options: Optional[dict] = None):
+    """Link a document's node references in-memory: frame with a
+    wildcard frame and ``@embed: '@link'``
+    (cf. reference jsonld.js:513-522)."""
+    from .core.frame import frame_document
+    options = _opts(options)
+    options["embed"] = "@link"
+    frame_doc: dict = {}
+    if ctx is not None:
+        frame_doc["@context"] = ctx
+    return frame_document(document, frame_doc, options)
+
+
 def compact(document, ctx, options: Optional[dict] = None):
     from .core.compact import compact_document
     options = _opts(options)

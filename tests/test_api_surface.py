@@ -1,0 +1,138 @@
+"""API surface parity: merge, link, transform stages, RDF I/O
+(reference surface: /root/reference/lib/jsonld.js public API)."""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+from jsonld_js_ray import api
+
+V = "http://ex.org/"
+
+
+def test_merge_two_docs():
+    d1 = {"@context": {"@vocab": V}, "@id": V + "a", "name": "x",
+          "child": {"name": "anon1"}}
+    d2 = {"@context": {"@vocab": V}, "@id": V + "a", "age": 3,
+          "child": {"name": "anon2"}}
+    merged = api.merge([d1, d2])
+    by_id = {n["@id"]: n for n in merged}
+    node = by_id[V + "a"]
+    assert node[V + "name"] == [{"@value": "x"}]
+    assert node[V + "age"] == [{"@value": 3}]
+    # bnodes relabeled with per-doc prefixes — never collide
+    kids = [v["@id"] for v in node[V + "child"]]
+    assert len(set(kids)) == 2
+    assert any(k.startswith("_:b0-") for k in kids)
+    assert any(k.startswith("_:b1-") for k in kids)
+
+
+def test_merge_no_merge_nodes_keeps_first():
+    d1 = {"@context": {"@vocab": V}, "@id": V + "a", "name": "first"}
+    d2 = {"@context": {"@vocab": V}, "@id": V + "a", "name": "second"}
+    merged = api.merge([d1, d2], options={"mergeNodes": False})
+    by_id = {n["@id"]: n for n in merged}
+    assert by_id[V + "a"][V + "name"] == [{"@value": "first"}]
+
+
+def test_merge_with_context_compacts():
+    ctx = {"@vocab": V}
+    out = api.merge([{"@context": ctx, "@id": V + "a", "name": "x"}], ctx)
+    assert out["@graph"] == [{"@id": V + "a", "name": "x"}]
+
+
+def test_link_embeds_references():
+    doc = {"@context": {"@vocab": V, "knows": {"@type": "@id"}},
+           "@graph": [
+               {"@id": V + "a", "name": "A", "knows": V + "b"},
+               {"@id": V + "b", "name": "B"}]}
+    out = api.link(doc, {"@vocab": V, "knows": {"@type": "@id"}})
+    graph = out.get("@graph", [out])
+    by_id = {n.get("@id"): n for n in graph} if isinstance(graph, list) \
+        else {}
+    a = by_id.get(V + "a") or out
+    assert isinstance(a["knows"], dict)
+    assert a["knows"].get("name") == "B"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTransformStages:
+    def _doc_batch(self, docs):
+        return pa.table({"content": pa.array(
+            [json.dumps(d) for d in docs], pa.large_string())})
+
+    def test_expand_flatten_compact_stages(self):
+        from jsonld_js_ray.stages.transform import (
+            CompactStage, ExpandStage, FlattenStage)
+        docs = [{"@context": {"@vocab": V}, "@id": V + "a", "name": "x",
+                 "child": {"name": "y"}}]
+        batch = self._doc_batch(docs)
+        exp = ExpandStage()(batch)
+        assert exp.column("transform_ok").to_pylist() == [True]
+        expanded = json.loads(exp.column("expanded")[0].as_py())
+        assert expanded == api.expand(docs[0])
+
+        flat = FlattenStage()(batch)
+        assert json.loads(flat.column("flattened")[0].as_py()) == \
+            api.flatten(docs[0])
+
+        ctx = {"@vocab": V}
+        comp = CompactStage(ctx_ref=ctx)(batch)
+        assert json.loads(comp.column("compacted")[0].as_py()) == \
+            api.compact(docs[0], ctx)
+
+    def test_frame_stage(self):
+        from jsonld_js_ray.stages.transform import FrameStage
+        doc = {"@context": {"@vocab": V},
+               "@graph": [{"@id": V + "a", "@type": "T", "name": "x"}]}
+        frame = {"@context": {"@vocab": V}, "@type": "T"}
+        out = FrameStage(frame_ref=frame)(self._doc_batch([doc]))
+        framed = json.loads(out.column("framed")[0].as_py())
+        assert framed == api.frame(doc, frame)
+
+    def test_from_rdf_stage(self):
+        from jsonld_js_ray.stages.transform import FromRdfStage
+        nq = f'<{V}a> <{V}p> "v" .\n'
+        batch = pa.table({"nquads": pa.array([nq], pa.large_string())})
+        out = FromRdfStage()(batch)
+        assert json.loads(out.column("expanded")[0].as_py()) == \
+            api.from_rdf(nq)
+
+    def test_bad_doc_marks_not_ok(self):
+        from jsonld_js_ray.stages.transform import ExpandStage
+        batch = pa.table({"content": pa.array(
+            ["{not json", '{"@context": 5, "@id": "http://x"}'],
+            pa.large_string())})
+        out = ExpandStage()(batch)
+        assert out.column("transform_ok").to_pylist() == [False, False]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRdfIO:
+    def test_nquads_roundtrip(self, tmp_path):
+        from jsonld_js_ray.sources.rdf_io import read_nquads, write_nquads
+        doc = {"@context": {"@vocab": V}, "@id": V + "a",
+               "name": 'he said "hi"\n', "n": 2.5}
+        nq_text = api.to_nquads(doc)
+        src = tmp_path / "in.nq"
+        src.write_text(nq_text)
+        ds = read_nquads(str(src))
+        tbl = ds.to_pandas()
+        assert len(tbl) == 2
+        out = write_nquads(ds, str(tmp_path / "out"))
+        assert out["n_lines"] == 2
+        # read back and compare quad sets
+        import glob
+        text = "".join(open(f).read()
+                       for f in glob.glob(str(tmp_path / "out" / "*.nq")))
+        assert sorted(text.strip().splitlines()) == \
+            sorted(nq_text.strip().splitlines())
+
+    def test_custom_parser_registry(self):
+        from jsonld_js_ray.sources.rdf_io import (
+            RDF_PARSERS, register_rdf_parser, unregister_rdf_parser)
+        register_rdf_parser("application/x-test", lambda s: [])
+        assert "application/x-test" in RDF_PARSERS
+        unregister_rdf_parser("application/x-test")
+        assert "application/x-test" not in RDF_PARSERS
