@@ -71,6 +71,57 @@ def _kg_canonical(sf_dir: str):
                           concurrency=default_concurrency(), num_cpus=1)
 
 
+def _jsonld_transform(stage_name: str):
+    """Per-document API-surface stages over the repo-files corpus."""
+    def run(sf_dir: str):
+        import ray
+        from jsonld_js_ray.pipelines.kg import (
+            read_repo_files, repo_files_for_sf_dir)
+        from jsonld_js_ray.sources.contexts import build_context_snapshot
+        from jsonld_js_ray.stages import transform as tr
+        from jsonld_js_ray.util_ray import default_concurrency
+        import pyarrow.compute as pc
+        ds = read_repo_files(repo_files_for_sf_dir(sf_dir))
+        ds = ds.map_batches(
+            lambda b: b.filter(pc.is_in(
+                b.column("lang"), value_set=__import__("pyarrow").array(
+                    ["jsonld", "json"]))),
+            batch_format="pyarrow")
+        ref = ray.put(build_context_snapshot())
+        stages = {
+            "expand": (tr.ExpandStage, {"snapshot_ref": ref}),
+            "flatten": (tr.FlattenStage, {"snapshot_ref": ref}),
+            "compact": (tr.CompactStage,
+                        {"snapshot_ref": ref,
+                         "ctx_ref": {"@vocab": "http://ex.org/v/"}}),
+            "frame": (tr.FrameStage,
+                      {"snapshot_ref": ref,
+                       "frame_ref": {"@context":
+                                     {"@vocab":
+                                      "http://schema-like.example/"}}}),
+        }
+        cls, kwargs = stages[stage_name]
+        out = ds.map_batches(cls, fn_constructor_kwargs=kwargs,
+                             batch_format="pyarrow", batch_size=512,
+                             concurrency=default_concurrency(8),
+                             num_cpus=1)
+        return out.select_columns(["repo", "path", cls.out_col,
+                                   "transform_ok"])
+    return run
+
+
+def _nquads_roundtrip(sf_dir: str):
+    """Quads → N-Quads shards on disk → parse back (source+sink parity)."""
+    import tempfile
+    from jsonld_js_ray.pipelines.kg import (
+        build_quads, read_repo_files, repo_files_for_sf_dir)
+    from jsonld_js_ray.sources.rdf_io import read_nquads, write_nquads
+    quads = build_quads(read_repo_files(repo_files_for_sf_dir(sf_dir)))
+    out_dir = tempfile.mkdtemp(prefix="nq_roundtrip_")
+    write_nquads(quads, out_dir)
+    return read_nquads(f"{out_dir}/")
+
+
 # ---------------------------------------------------------------------------
 # documents: dedup + text analysis
 # ---------------------------------------------------------------------------
@@ -247,6 +298,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_summary": _kg_entity_summary,
         "kg_doc_status": _kg_doc_status,
         "kg_canonical_nquads": _kg_canonical,
+        "jsonld_expand_docs": _jsonld_transform("expand"),
+        "jsonld_flatten_docs": _jsonld_transform("flatten"),
+        "jsonld_compact_docs": _jsonld_transform("compact"),
+        "jsonld_frame_docs": _jsonld_transform("frame"),
+        "nquads_roundtrip": _nquads_roundtrip,
         # dedup family
         "doc_exact_dedup": _doc_exact_dedup,
         "doc_minhash_near_dup": _doc_minhash_near_dup,
