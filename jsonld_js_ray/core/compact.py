@@ -106,8 +106,19 @@ def compact_iri(active_ctx: ActiveContext, iri: Optional[str],
     if iri is None:
         return iri
     if is_keyword(iri):
+        # keyword aliases resolve through the inverse context (e.g. a
+        # term "id" mapped to "@id")
+        inv = inverse_context(active_ctx)
+        entry = inv.get(iri)
+        if entry is not None:
+            for container in ("@none", "@set"):
+                tl = entry.get(container)
+                if tl is not None:
+                    term = tl["@any"].get("@none")
+                    if term is not None:
+                        return term
         return iri
-    if iri.startswith("@") :
+    if iri.startswith("@"):
         return iri
 
     if relative_to_vocab and iri in inverse_context(active_ctx):

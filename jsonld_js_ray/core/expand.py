@@ -129,10 +129,11 @@ def expand(active_ctx: ActiveContext, active_property: Optional[str],
     _expand_object(active_ctx, active_property, element, result, nests,
                    options, input_type, type_scoped_ctx, frame_expansion)
 
-    # 14) nests
+    # 14) nests — each entry is (source_object, key) so nested @nest keys
+    # resolve against the object that contains them, not the outer element
     while nests:
-        nest_key = nests.pop(0)
-        nested_values = element[nest_key]
+        nest_src, nest_key = nests.pop(0)
+        nested_values = nest_src[nest_key]
         if not isinstance(nested_values, list):
             nested_values = [nested_values]
         for nv in nested_values:
@@ -403,7 +404,7 @@ def _expand_object(active_ctx, active_property, element, result, nests,
             continue
 
         if expanded_property == "@nest":
-            nests.append(key)
+            nests.append((element, key))
             continue
 
         if expanded_property == "@list":
