@@ -47,7 +47,7 @@ def emit_event(options: dict, code: str, message: str, level: str = "warning"):
 class ActiveContext:
     __slots__ = ("mappings", "base", "original_base", "vocab",
                  "default_language", "default_direction", "processing_mode",
-                 "previous_context", "_inverse", "_uuid")
+                 "previous_context", "_inverse", "_uuid", "is_initial")
 
     _counter = 0
 
@@ -61,6 +61,7 @@ class ActiveContext:
         self.processing_mode = processing_mode
         self.previous_context: Optional["ActiveContext"] = None
         self._inverse = None
+        self.is_initial = False
         ActiveContext._counter += 1
         self._uuid = ActiveContext._counter
 
@@ -88,9 +89,11 @@ class ActiveContext:
 
 
 def initial_context(options: dict) -> ActiveContext:
-    return ActiveContext(base=options.get("base"),
-                         processing_mode=options.get(
-                             "processingMode", "json-ld-1.1"))
+    ctx = ActiveContext(base=options.get("base"),
+                        processing_mode=options.get(
+                            "processingMode", "json-ld-1.1"))
+    ctx.is_initial = True
+    return ctx
 
 
 def _ctx_1_1(active_ctx) -> bool:
@@ -108,9 +111,29 @@ def process_context(active_ctx: ActiveContext, local_ctx, options: dict,
                     remote_contexts: Optional[list] = None) -> ActiveContext:
     if remote_contexts is None:
         remote_contexts = []
-    if local_ctx is None:
-        # null wipes the context (checked again below for protected terms)
-        pass
+
+    # whole-context processed cache: documents overwhelmingly apply the
+    # SAME local context to a fresh initial context — the Ray analog of
+    # the reference's ResolvedContext cache extended to inline contexts
+    # (keyed by serialized context; cf. ContextResolver.js "object
+    # contexts keyed by JSON.stringify"). Cached results are shared and
+    # treated as immutable (process_context always clones before writes).
+    resolver_for_cache = options.get("context_resolver")
+    cache_key = None
+    if (resolver_for_cache is not None and active_ctx.is_initial
+            and not remote_contexts):
+        try:
+            cache_key = ("doc-ctx",
+                         json.dumps(local_ctx, sort_keys=True),
+                         active_ctx.base, active_ctx.processing_mode,
+                         options.get("processingMode"),
+                         override_protected, propagate, validate_scoped)
+        except (TypeError, ValueError):
+            cache_key = None
+        if cache_key is not None:
+            cached = resolver_for_cache.get_processed(cache_key)
+            if cached is not None:
+                return cached
 
     ctxs = local_ctx if isinstance(local_ctx, list) else [local_ctx]
     result = active_ctx
@@ -158,9 +181,9 @@ def process_context(active_ctx: ActiveContext, local_ctx, options: dict,
                     f"No context resolver configured; cannot dereference "
                     f"remote context {url!r}.", "loading remote context failed")
             # processed-context cache: (url, active fingerprint)
-            cache_key = (url, result.fingerprint(), override_protected,
-                         propagate)
-            cached = resolver.get_processed(cache_key)
+            url_key = (url, result.fingerprint(), override_protected,
+                       propagate)
+            cached = resolver.get_processed(url_key)
             if cached is not None:
                 result = cached
                 continue
@@ -174,7 +197,7 @@ def process_context(active_ctx: ActiveContext, local_ctx, options: dict,
                 propagate=propagate,
                 validate_scoped=validate_scoped,
                 remote_contexts=remote_contexts + [url])
-            resolver.put_processed(cache_key, processed)
+            resolver.put_processed(url_key, processed)
             result = processed
             continue
 
@@ -321,6 +344,8 @@ def process_context(active_ctx: ActiveContext, local_ctx, options: dict,
                 remote_contexts=remote_contexts)
 
         # scoped contexts inside term definitions validated lazily on use
+    if cache_key is not None and resolver_for_cache is not None:
+        resolver_for_cache.put_processed(cache_key, result)
     return result
 
 
