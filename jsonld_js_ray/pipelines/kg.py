@@ -108,10 +108,12 @@ def run_kg_pipeline(input_path: str, out_dir: str,
         cpus = cluster_cpus()
         num_writers = max(2, min(16, cpus // 4))
         expand_conc = _cap_concurrency(concurrency)
+        # writers hold 0.5 CPU each and are mostly idle while streaming;
+        # size the expand pool against their *reserved* share
         quads = build_quads(ds, num_partitions=num_partitions,
                             concurrency=min(expand_conc,
-                                            max(1, cpus - num_writers
-                                                - 1)),
+                                            max(1, cpus
+                                                - num_writers // 2 - 1)),
                             batch_size=batch_size,
                             skip_partitions=completed)
         if dedup:

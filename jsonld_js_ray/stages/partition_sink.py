@@ -40,7 +40,7 @@ def _writer_class():
     @ray.remote(num_cpus=0.5, max_restarts=0)
     class PartitionWriter:
         def __init__(self, out_dir: str, writer_id: int,
-                     dedup: bool = True, flush_rows: int = 2_000_000):
+                     dedup: bool = True, flush_rows: int = 4_000_000):
             self.out_dir = out_dir
             self.writer_id = writer_id
             self.dedup = dedup
@@ -105,7 +105,7 @@ def _writer_class():
 
 class WriterPool:
     def __init__(self, out_dir: str, num_writers: int,
-                 dedup: bool = True, flush_rows: int = 2_000_000):
+                 dedup: bool = True, flush_rows: int = 4_000_000):
         cls = _writer_class()
         self.num_writers = num_writers
         self.actors = [
