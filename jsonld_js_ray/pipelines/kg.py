@@ -125,11 +125,18 @@ def run_kg_pipeline(input_path: str, out_dir: str,
         routed = quads.map_batches(
             make_router(pool.handles(), num_writers),
             batch_format="pyarrow")
+        import time as _time
+        _t0 = _time.time()
         routed.count()  # drive the stream to completion
+        _stream_sec = _time.time() - _t0
+        _t0 = _time.time()
         merged = pool.finalize()
+        _finalize_sec = _time.time() - _t0
         pool.shutdown()
         counts = {pid: e["n_quads"] for pid, e in merged.items()}
         ndocs = {pid: e["n_docs"] for pid, e in merged.items()}
+        phase_timings = {"stream_sec": round(_stream_sec, 2),
+                         "finalize_sec": round(_finalize_sec, 2)}
     else:
         quads = build_quads(ds, num_partitions=num_partitions,
                             concurrency=concurrency,
@@ -173,6 +180,8 @@ def run_kg_pipeline(input_path: str, out_dir: str,
     total = {"n_quads": int(sum(counts.values())),
              "n_partitions": len(counts),
              "resumed_skipped": sorted(completed)}
+    if write_mode == "stream":
+        total["phases"] = phase_timings
     checkpoint.write_job_summary(out_dir, total)
     return total
 
