@@ -15,7 +15,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..util_ray import default_concurrency
+from ..util_ray import default_concurrency, pool_share
 
 _MERSENNE = (1 << 61) - 1
 
@@ -111,7 +111,8 @@ def minhash_candidate_pairs(docs_ds, num_perm=64, bands=16, k=5):
     banded = docs_ds.map_batches(
         MinHasher, fn_constructor_kwargs={
             "num_perm": num_perm, "bands": bands, "k": k},
-        batch_format="pyarrow", concurrency=default_concurrency(8), num_cpus=1)
+        batch_format="pyarrow", concurrency=pool_share(0.5, cap=12),
+        num_cpus=1)
     pairs = (banded.groupby(["band_id", "band_hash"])
              .map_groups(_bucket_pairs, batch_format="pandas"))
 
@@ -166,7 +167,8 @@ def jaccard_verify(docs_ds, pairs_ds, threshold: float = 0.8, k: int = 5):
             return pa.Table.from_pandas(out, preserve_index=False)
 
     return pairs_ds.map_batches(Verify, batch_format="pyarrow",
-                                concurrency=2, num_cpus=1)
+                                concurrency=pool_share(0.25, cap=4),
+                                num_cpus=1)
 
 
 class SimHasher:

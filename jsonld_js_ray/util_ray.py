@@ -18,3 +18,13 @@ def default_concurrency(requested=None) -> int:
     can deadlock an all-to-all shuffle (observed: pool == num_cpus)."""
     cap = max(1, cluster_cpus() - 2)
     return min(requested, cap) if requested else cap
+
+
+def pool_share(fraction: float, cap=None) -> int:
+    """Size one of SEVERAL actor pools in the same pipeline: pools must
+    split the headroom budget or together they reserve every CPU and the
+    plan deadlocks (observed: two pools summing to num_cpus starve the
+    interleaved shuffle)."""
+    budget = max(1, cluster_cpus() - 2)
+    n = max(1, int(budget * fraction))
+    return min(n, cap) if cap else n
