@@ -41,6 +41,15 @@ def _kg_quads(sf_dir: str):
     return dedup_quads(build_quads(read_repo_files(path)))
 
 
+def _kg_nodes(sf_dir: str):
+    """Corpus node merge (entity linking): quads → merged JSON-LD nodes."""
+    from jsonld_js_ray.pipelines.entity_link import merge_entities
+    from jsonld_js_ray.pipelines.kg import (
+        build_quads, read_repo_files, repo_files_for_sf_dir)
+    quads = build_quads(read_repo_files(repo_files_for_sf_dir(sf_dir)))
+    return merge_entities(quads)
+
+
 def _kg_entity_summary(sf_dir: str):
     from jsonld_js_ray.pipelines.kg import (
         build_quads, entity_summary, read_repo_files, repo_files_for_sf_dir)
@@ -296,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KG construction (SURVEY.md §2.2/§3; rows-only checks)
         "kg_quads": _kg_quads,
         "kg_entity_summary": _kg_entity_summary,
+        "kg_merged_nodes": _kg_nodes,
         "kg_doc_status": _kg_doc_status,
         "kg_canonical_nquads": _kg_canonical,
         "jsonld_expand_docs": _jsonld_transform("expand"),
