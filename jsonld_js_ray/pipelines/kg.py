@@ -78,6 +78,19 @@ def run_kg_pipeline(input_path: str, out_dir: str,
     completed = checkpoint.completed_partitions(out_dir) if resume else set()
     data_dir = os.path.join(out_dir, "quads")
 
+    # crash hygiene: a killed run may leave partition files without
+    # manifest entries; those partitions will be recomputed, so their
+    # orphaned files must go first or the readback would double-count
+    if resume and os.path.isdir(data_dir):
+        import shutil as _shutil
+        for name in os.listdir(data_dir):
+            if not name.startswith("partition_id="):
+                continue
+            pid = int(name.split("=", 1)[1])
+            if pid not in completed:
+                _shutil.rmtree(os.path.join(data_dir, name),
+                               ignore_errors=True)
+
     ds = read_repo_files(input_path)
     if completed:
         # cheap pre-scan (read + vectorized extract only — no expansion) to
