@@ -63,6 +63,24 @@ def _kg_doc_status(sf_dir: str):
     return doc_status(read_repo_files(repo_files_for_sf_dir(sf_dir)))
 
 
+def _kg_doc_events(sf_dir: str):
+    """Per-document processing events (warnings/errors) side output."""
+    import ray
+    from jsonld_js_ray.pipelines.kg import (
+        read_repo_files, repo_files_for_sf_dir)
+    from jsonld_js_ray.sources.contexts import build_context_snapshot
+    from jsonld_js_ray.stages.expand_quads import DocEvents
+    from jsonld_js_ray.stages.extract import extract_batch
+    from jsonld_js_ray.util_ray import default_concurrency
+    ds = read_repo_files(repo_files_for_sf_dir(sf_dir))
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow")
+    ref = ray.put(build_context_snapshot())
+    return ds.map_batches(DocEvents,
+                          fn_constructor_kwargs={"snapshot_ref": ref},
+                          batch_format="pyarrow", batch_size=512,
+                          concurrency=default_concurrency(8), num_cpus=1)
+
+
 def _kg_canonical(sf_dir: str):
     import ray
     from jsonld_js_ray.pipelines.kg import (
@@ -307,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_summary": _kg_entity_summary,
         "kg_merged_nodes": _kg_nodes,
         "kg_doc_status": _kg_doc_status,
+        "kg_doc_events": _kg_doc_events,
         "kg_canonical_nquads": _kg_canonical,
         "jsonld_expand_docs": _jsonld_transform("expand"),
         "jsonld_flatten_docs": _jsonld_transform("flatten"),

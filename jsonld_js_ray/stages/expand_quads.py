@@ -69,9 +69,12 @@ def doc_quads(content: str, resolver: ContextResolver,
     §4.4c); falls back to issuance order on poison graphs."""
     doc = json.loads(content)
     opts = {"base": base, "processingMode": "json-ld-1.1",
-            "context_resolver": resolver}
+            "context_resolver": resolver,
+            # pre-seeded so dict copies inside expand share the same list
+            "_events": []}
     if options:
         opts.update(options)
+        opts["_events"] = opts.get("_events") or []
     expanded = expand_document(doc, opts)
     quads = to_rdf(expanded, {**opts, "issuer": IdentifierIssuer("_:b")})
     if canonical_bnodes:
@@ -265,4 +268,54 @@ class CanonizePerDoc:
             "canonical_nquads": pa.array(out_rows["canonical_nquads"],
                                          pa.large_string()),
             "n_quads": pa.array(out_rows["n_quads"], pa.int64()),
+        })
+
+
+class DocEvents:
+    """Actor-pool stage: exploded per-document event rows (code, level) —
+    the reference's warning event system as a side-output table
+    (SURVEY.md §2.9; cf. /root/reference/lib/events.js:103-129)."""
+
+    def __init__(self, snapshot_ref=None, base: Optional[str] = None):
+        import ray
+        if snapshot_ref is None:
+            from ..sources.contexts import build_context_snapshot
+            snapshot = build_context_snapshot()
+        elif isinstance(snapshot_ref, dict):
+            snapshot = snapshot_ref
+        else:
+            snapshot = ray.get(snapshot_ref)
+        self.resolver = ContextResolver(snapshot)
+        self.base = base
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"repo": [], "path": [], "content_sha256": [],
+               "code": [], "level": []}
+        repos = batch.column("repo").to_pylist()
+        paths = batch.column("path").to_pylist()
+        contents = batch.column("content").to_pylist()
+        shas = batch.column("content_sha256").to_pylist()
+        is_jsonld = batch.column("is_jsonld").to_pylist()
+        for i in range(len(repos)):
+            if not is_jsonld[i]:
+                continue
+            try:
+                _, events = doc_quads(contents[i], self.resolver,
+                                      base=self.base)
+            except (JsonLdError, ValueError, RecursionError, KeyError,
+                    TypeError) as e:
+                events = [{"code": getattr(e, "code", type(e).__name__),
+                           "level": "error"}]
+            for ev in events:
+                out["repo"].append(repos[i])
+                out["path"].append(paths[i])
+                out["content_sha256"].append(shas[i])
+                out["code"].append(ev.get("code"))
+                out["level"].append(ev.get("level", "warning"))
+        return pa.table({
+            "repo": pa.array(out["repo"], pa.string()),
+            "path": pa.array(out["path"], pa.string()),
+            "content_sha256": pa.array(out["content_sha256"], pa.string()),
+            "code": pa.array(out["code"], pa.string()),
+            "level": pa.array(out["level"], pa.string()),
         })
