@@ -60,33 +60,61 @@ def _writer_class():
             return table.num_rows
 
         def _flush(self):
+            import numpy as np
             for pid, tables in list(self.buffers.items()):
                 if not tables:
                     continue
-                df = pa.concat_tables(tables).to_pandas()
-                if self.dedup:
-                    df = df.sort_values(["content_sha256", "path"],
-                                        kind="stable")
-                    df = df.drop_duplicates(subset=QUAD_COLS, keep="first")
+                tbl = pa.concat_tables(tables)
+                if self.dedup and "quad_hash" in tbl.column_names:
+                    h = tbl.column("quad_hash").to_numpy(
+                        zero_copy_only=False)
+                    uniq, first_idx, counts = np.unique(
+                        h, return_index=True, return_counts=True)
+                    if (counts > 1).any():
+                        # deterministic winner ONLY for the (rare)
+                        # duplicated hashes: min (content_sha256, path);
+                        # unique hashes keep their single row untouched —
+                        # avoids sorting the whole partition
+                        dup_hashes = uniq[counts > 1]
+                        dup_mask = np.isin(h, dup_hashes)
+                        sub = tbl.filter(pa.array(dup_mask)).to_pandas()
+                        sub["_orig"] = np.flatnonzero(dup_mask)
+                        sub = sub.sort_values(
+                            ["content_sha256", "path"], kind="stable")
+                        winners = (sub.drop_duplicates(
+                            subset=["quad_hash"], keep="first")["_orig"]
+                            .to_numpy())
+                        keep = np.concatenate(
+                            [first_idx[counts == 1], winners])
+                        keep.sort()
+                        tbl = tbl.take(pa.array(keep))
+                        h = tbl.column("quad_hash").to_numpy(
+                            zero_copy_only=False)
                     seen = self.seen.setdefault(pid, set())
                     if seen:
-                        df = df[~df["quad_hash"].isin(seen)]
-                    seen.update(df["quad_hash"].tolist())
+                        mask = ~np.fromiter(
+                            (int(x) in seen for x in h), bool, len(h))
+                        if not mask.all():
+                            tbl = tbl.filter(pa.array(mask))
+                            h = h[mask]
+                    seen.update(int(x) for x in h)
+                shas = tbl.column("content_sha256").to_numpy(
+                    zero_copy_only=False)
                 self.docs.setdefault(pid, set()).update(
-                    df["content_sha256"].unique().tolist())
+                    np.unique(shas).tolist())
                 part_dir = os.path.join(self.out_dir,
                                         f"partition_id={pid}")
                 os.makedirs(part_dir, exist_ok=True)
-                out = df.drop(columns=["quad_hash", "partition_id"],
-                              errors="ignore")
+                drop = [c for c in ("quad_hash", "partition_id")
+                        if c in tbl.column_names]
+                out = tbl.drop_columns(drop) if drop else tbl
                 path = os.path.join(
                     part_dir,
                     f"part-w{self.writer_id:03d}-{self.file_idx:05d}"
                     ".parquet")
-                pq.write_table(
-                    pa.Table.from_pandas(out, preserve_index=False), path)
+                pq.write_table(out, path)
                 self.file_idx += 1
-                self.flushed[pid] = self.flushed.get(pid, 0) + len(df)
+                self.flushed[pid] = self.flushed.get(pid, 0) + tbl.num_rows
                 self.buffers[pid] = []
             self.buffered_rows = 0
 
