@@ -31,7 +31,7 @@ import pyarrow.parquet as pq
 
 from .dedup import QUAD_COLS
 
-ACK_BATCH = 8  # outstanding sends per routing task before ray.get
+ACK_BATCH = 64  # outstanding sends per routing task before ray.get
 
 
 def _writer_class():
