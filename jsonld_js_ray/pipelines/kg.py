@@ -136,11 +136,9 @@ def run_kg_pipeline(input_path: str, out_dir: str,
             quads = quads.map_batches(
                 lambda b: add_quad_hash(b, None), batch_format="pyarrow")
         pool = WriterPool(data_dir, num_writers, dedup=bool(dedup))
-        # routers are latency-bound (they wait on actor acks), not
-        # CPU-bound: fractional CPU lets many overlap their waits
         routed = quads.map_batches(
             make_router(pool.handles(), num_writers),
-            batch_format="pyarrow", num_cpus=0.25)
+            batch_format="pyarrow")
         import time as _time
         _t0 = _time.time()
         routed.count()  # drive the stream to completion

@@ -40,7 +40,7 @@ def _writer_class():
     @ray.remote(num_cpus=0.5, max_restarts=0)
     class PartitionWriter:
         def __init__(self, out_dir: str, writer_id: int,
-                     dedup: bool = True, flush_rows: int = 4_000_000):
+                     dedup: bool = True, flush_rows: int = 1_000_000):
             self.out_dir = out_dir
             self.writer_id = writer_id
             self.dedup = dedup
@@ -56,12 +56,33 @@ def _writer_class():
             self.buffers.setdefault(pid, []).append(table)
             self.buffered_rows += table.num_rows
             if self.buffered_rows >= self.flush_rows:
-                self._flush()
+                # hand the full buffers to a background flusher so adds
+                # (and their acks) keep streaming; pandas/arrow/parquet
+                # release the GIL for most of the flush work
+                self._join_flusher()
+                snapshot, self.buffers = self.buffers, {}
+                self.buffered_rows = 0
+                import threading
+                self._flusher = threading.Thread(
+                    target=self._flush_buffers, args=(snapshot,),
+                    daemon=True)
+                self._flusher.start()
             return table.num_rows
 
+        def _join_flusher(self):
+            fl = getattr(self, "_flusher", None)
+            if fl is not None:
+                fl.join()
+                self._flusher = None
+
         def _flush(self):
+            snapshot, self.buffers = self.buffers, {}
+            self.buffered_rows = 0
+            self._flush_buffers(snapshot)
+
+        def _flush_buffers(self, buffers):
             import numpy as np
-            for pid, tables in list(self.buffers.items()):
+            for pid, tables in list(buffers.items()):
                 if not tables:
                     continue
                 tbl = pa.concat_tables(tables)
@@ -115,10 +136,9 @@ def _writer_class():
                 pq.write_table(out, path)
                 self.file_idx += 1
                 self.flushed[pid] = self.flushed.get(pid, 0) + tbl.num_rows
-                self.buffers[pid] = []
-            self.buffered_rows = 0
 
         def finalize(self) -> dict:
+            self._join_flusher()
             self._flush()
             return {
                 "writer_id": self.writer_id,
@@ -133,7 +153,7 @@ def _writer_class():
 
 class WriterPool:
     def __init__(self, out_dir: str, num_writers: int,
-                 dedup: bool = True, flush_rows: int = 4_000_000):
+                 dedup: bool = True, flush_rows: int = 1_000_000):
         cls = _writer_class()
         self.num_writers = num_writers
         self.actors = [
