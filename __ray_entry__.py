@@ -270,6 +270,96 @@ def _top_orders(sf_dir: str):
     return top_orders(orders, k=10)
 
 
+def _events_type_agg(sf_dir: str):
+    import ray
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (df.groupby("event_type", as_index=False)
+             .agg(n=("value", "size"), sum_value=("value", "sum")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ev.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sum_value", alias_name="sum_value")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["n"] = df["n"].astype("int64")
+        df["sum_value"] = df["sum_value"].round(6)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _doc_length_by_lang(sf_dir: str):
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["lang", "n_chars"]).to_pandas()
+        g = (df.groupby("lang", as_index=False)
+             .agg(n_docs=("n_chars", "size"),
+                  sum_chars=("n_chars", "sum")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (_docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("sum_chars", alias_name="sum_chars")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["n_docs"] = df["n_docs"].astype("int64")
+        df["sum_chars"] = df["sum_chars"].astype("int64")
+        df["avg_chars"] = (df["sum_chars"] / df["n_docs"]).round(6)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _part_brand_stats(sf_dir: str):
+    import ray
+    import pyarrow as pa
+    from ray.data.aggregate import Max, Min, Sum
+
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_brand", "p_retailprice",
+                                          "p_size"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (df.groupby("p_brand", as_index=False)
+             .agg(n_parts=("p_size", "size"),
+                  sum_price=("p_retailprice", "sum"),
+                  min_size=("p_size", "min"),
+                  max_size=("p_size", "max")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (part.map_batches(partial, batch_format="pyarrow")
+           .groupby("p_brand")
+           .aggregate(Sum("n_parts", alias_name="n_parts"),
+                      Sum("sum_price", alias_name="sum_price"),
+                      Min("min_size", alias_name="min_size"),
+                      Max("max_size", alias_name="max_size")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["n_parts"] = df["n_parts"].astype("int64")
+        df["sum_price"] = df["sum_price"].round(2)
+        df["min_size"] = df["min_size"].astype("int64")
+        df["max_size"] = df["max_size"].astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def _events_hourly(sf_dir: str):
     import ray
     from jsonld_js_ray.functions.relational import events_tumbling_window
@@ -350,6 +440,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue": _nation_revenue,
         "top_orders": _top_orders,
         "events_hourly": _events_hourly,
+        "events_type_agg": _events_type_agg,
+        "doc_length_by_lang": _doc_length_by_lang,
+        "part_brand_stats": _part_brand_stats,
         "events_sessions": _events_sessions,
         # multimodal plumbing
         "media_decode_features": _media_decode,
@@ -431,6 +524,23 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             ORDER BY o_totalprice DESC, o_orderkey ASC
             LIMIT 10
+        """,
+        "events_type_agg": """
+            SELECT event_type, count(*) AS n,
+                   round(sum(value), 6) AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        "doc_length_by_lang": """
+            SELECT lang, count(*) AS n_docs,
+                   sum(n_chars) AS sum_chars,
+                   round(sum(n_chars) / count(*)::DOUBLE, 6) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "part_brand_stats": """
+            SELECT p_brand, count(*) AS n_parts,
+                   round(sum(p_retailprice), 2) AS sum_price,
+                   min(p_size) AS min_size, max(p_size) AS max_size
+            FROM part GROUP BY p_brand
         """,
         "events_hourly": """
             SELECT user_id,
