@@ -115,17 +115,19 @@ def _jsonld_transform(stage_name: str):
                     ["jsonld", "json"]))),
             batch_format="pyarrow")
         ref = ray.put(build_context_snapshot())
+        # ship ctx/frame dicts as object-store refs too: raw dicts in
+        # fn_constructor_kwargs defeat Ray's schema/arg hashing
+        # ("Failed to hash the schemas" log spam, no arg caching)
+        ctx_ref = ray.put({"@vocab": "http://ex.org/v/"})
+        frame_ref = ray.put(
+            {"@context": {"@vocab": "http://schema-like.example/"}})
         stages = {
             "expand": (tr.ExpandStage, {"snapshot_ref": ref}),
             "flatten": (tr.FlattenStage, {"snapshot_ref": ref}),
             "compact": (tr.CompactStage,
-                        {"snapshot_ref": ref,
-                         "ctx_ref": {"@vocab": "http://ex.org/v/"}}),
+                        {"snapshot_ref": ref, "ctx_ref": ctx_ref}),
             "frame": (tr.FrameStage,
-                      {"snapshot_ref": ref,
-                       "frame_ref": {"@context":
-                                     {"@vocab":
-                                      "http://schema-like.example/"}}}),
+                      {"snapshot_ref": ref, "frame_ref": frame_ref}),
         }
         cls, kwargs = stages[stage_name]
         out = ds.map_batches(cls, fn_constructor_kwargs=kwargs,
@@ -187,7 +189,7 @@ def _doc_minhash_near_dup(sf_dir: str):
     from jsonld_js_ray.functions.dedup_text import (
         jaccard_verify, minhash_candidate_pairs)
     docs = _docs(sf_dir)
-    pairs = minhash_candidate_pairs(docs)
+    pairs = minhash_candidate_pairs(docs, pair_mode="all")
     return jaccard_verify(docs, pairs, threshold=0.5)
 
 
@@ -532,7 +534,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_length_by_lang": """
             SELECT lang, count(*) AS n_docs,
-                   sum(n_chars) AS sum_chars,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                    round(sum(n_chars) / count(*)::DOUBLE, 6) AS avg_chars
             FROM documents GROUP BY lang
         """,

@@ -49,8 +49,11 @@ def expand(active_ctx: ActiveContext, active_property: Optional[str],
                        "Dropping free-floating scalar during expansion.")
             return None
         if property_scoped_ctx is not None:
+            # property-scoped contexts may redefine protected terms
+            # (reference expand.js:847-858 uses overrideProtected: true),
+            # same as the map branch below
             active_ctx = process_context(active_ctx, property_scoped_ctx,
-                                         options)
+                                         options, override_protected=True)
         return _expand_value(active_ctx, active_property, element, options)
 
     # --- arrays ------------------------------------------------------------

@@ -72,9 +72,12 @@ def is_number(v) -> bool:
 def is_double(v) -> bool:
     """True when a JS processor would serialize as xsd:double.
 
-    JS has a single number type; ``String(5.0) === "5"`` so a float with an
-    integral value is an *integer* there. We reproduce that: floats with
-    integral values < 1e21 are integers (cf. /root/reference/lib/types.js:35).
+    Exactly the reference's rule (/root/reference/lib/types.js:35):
+    ``String(v).indexOf('.') !== -1 || Math.abs(v) >= 1e21``. JS has a
+    single number type; ``String(5.0) === "5"`` so an integral float is
+    an integer, and — observably — ``String(1e-7) === "1e-7"`` has no
+    '.', so tiny non-integral floats are *integers* too (serialized
+    ``"0"^^xsd:integer`` via toFixed(0), matching toRdf.js:307-309).
     """
     if not is_number(v):
         return False
@@ -82,7 +85,8 @@ def is_double(v) -> bool:
         return abs(v) >= 1e21
     if math.isnan(v) or math.isinf(v):
         return True
-    return (not v.is_integer()) or abs(v) >= 1e21
+    from .literals import es6_number_str
+    return "." in es6_number_str(v) or abs(v) >= 1e21
 
 
 def is_integer_num(v) -> bool:

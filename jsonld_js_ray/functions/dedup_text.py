@@ -3,9 +3,10 @@
 Patterns per the Ray guide / SURVEY.md §2.7: exact dedup is a
 hash-partitioned groupby; near-dup is shingle→minhash per batch →
 explode to (band, band_hash) rows → groupby buckets → candidate pairs →
-vectorized Jaccard verify. Connected components resolve with iterative
-min-label propagation (groupby rounds), never a driver-side union-find
-over big data."""
+distributed shingle hash-join → vectorized Jaccard verify. Connected
+components resolve with iterative min-label propagation where labels
+stay a Dataset (two hash shuffles per round, scalar convergence check)
+— never a driver-side union-find or label dict over big data."""
 
 from __future__ import annotations
 
@@ -96,25 +97,61 @@ class MinHasher:
 
 
 def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    """Star edges to the bucket minimum.
+
+    Sufficient for CONNECTED COMPONENTS (every bucket member joins the
+    min's component) while capping giant buckets at O(n) edges — but NOT
+    a complete candidate-pair list: (b, c) sharing a bucket is absent
+    when a < b < c. Use ``_bucket_all_pairs`` for the verify path."""
     ids = np.sort(group["doc_id"].unique())
     if len(ids) < 2:
         return pd.DataFrame({"a": [], "b": []}, dtype="int64")
-    # pair every doc with the bucket minimum — enough for connected
-    # components, avoids O(n^2) blowup in giant buckets
     lo = ids[0]
     return pd.DataFrame({"a": np.full(len(ids) - 1, lo, dtype="int64"),
                          "b": ids[1:].astype("int64")})
 
 
-def minhash_candidate_pairs(docs_ds, num_perm=64, bands=16, k=5):
-    """LSH candidate pairs (a < b), deduplicated."""
+def _bucket_all_pairs(group: pd.DataFrame, cap: int = 64) -> pd.DataFrame:
+    """All within-bucket pairs (a < b), capped.
+
+    Complete recall for the Jaccard-verify path (a near-dup pair (b, c)
+    is kept even when the bucket minimum fails verification against
+    both). Buckets larger than ``cap`` docs fall back to star edges —
+    a giant bucket means near-identical docs, where the star already
+    connects everything, and O(n^2) on millions of members is the
+    classic LSH skew bomb."""
+    ids = np.sort(group["doc_id"].unique())
+    if len(ids) < 2:
+        return pd.DataFrame({"a": [], "b": []}, dtype="int64")
+    if len(ids) > cap:
+        lo = ids[0]
+        return pd.DataFrame(
+            {"a": np.full(len(ids) - 1, lo, dtype="int64"),
+             "b": ids[1:].astype("int64")})
+    ai, bi = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame({"a": ids[ai].astype("int64"),
+                         "b": ids[bi].astype("int64")})
+
+
+def minhash_candidate_pairs(docs_ds, num_perm=64, bands=16, k=5,
+                            pair_mode: str = "min_anchor",
+                            bucket_cap: int = 64):
+    """LSH candidate pairs (a < b), deduplicated.
+
+    pair_mode="min_anchor": star edges per bucket (for components).
+    pair_mode="all": all within-bucket pairs, capped (for verify)."""
     banded = docs_ds.map_batches(
         MinHasher, fn_constructor_kwargs={
             "num_perm": num_perm, "bands": bands, "k": k},
         batch_format="pyarrow", concurrency=pool_share(0.5, cap=12),
         num_cpus=1)
+    if pair_mode == "all":
+        def pair_fn(g):
+            return _bucket_all_pairs(g, cap=bucket_cap)
+    else:
+        pair_fn = _bucket_pairs
     pairs = (banded.groupby(["band_id", "band_hash"])
-             .map_groups(_bucket_pairs, batch_format="pandas"))
+             .map_groups(pair_fn, batch_format="pandas"))
 
     def drop_dup_pairs(b: pa.Table) -> pa.Table:
         df = b.to_pandas().drop_duplicates()
@@ -135,40 +172,109 @@ def minhash_candidate_pairs(docs_ds, num_perm=64, bands=16, k=5):
 
 
 def jaccard_verify(docs_ds, pairs_ds, threshold: float = 0.8, k: int = 5):
-    """Verify candidate pairs with exact shingle Jaccard.
+    """Verify candidate pairs with exact shingle Jaccard — fully
+    distributed, nothing is pulled to the driver.
 
-    The documents side is broadcast as an id→text dict (small side —
-    fine at test scale; at 100 TB this becomes a hash join on doc_id,
-    see functions/joins.py)."""
-    import ray
-    texts = {}
-    for b in docs_ds.select_columns(["doc_id", "text"]).iter_batches(
-            batch_format="pyarrow"):
-        for i, t in zip(b.column("doc_id").to_pylist(),
-                        b.column("text").to_pylist()):
-            texts[i] = t
-    ref = ray.put(texts)
+    Two-shuffle hash join:
+      1. explode each pair (a, b) to one row per side keyed on the
+         doc_id; union with the (doc_id, text) table; groupby(doc_id)
+         co-locates each doc's text with every pair-row that needs it —
+         shingles are computed ONCE per doc and shipped as a uint64
+         blob per pair-side;
+      2. groupby(a, b) brings the two shingle blobs of a pair together
+         for a vectorized intersect.
+    Both shuffles hash-partition on integer keys; no side is collected
+    or broadcast, so it holds at 100 TB (the classic skew risk — one
+    doc in millions of pairs — is bounded upstream by the per-bucket
+    pair cap in ``_bucket_all_pairs``)."""
 
-    class Verify:
-        def __init__(self):
-            self.texts = ray.get(ref)
+    NB = np.int64(64)  # join buckets: groups per shuffle, not per key
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            df = batch.to_pandas()
-            sims = []
-            for a, b_ in zip(df["a"], df["b"]):
-                sa = _shingles(self.texts[int(a)], k)
-                sb = _shingles(self.texts[int(b_)], k)
-                inter = np.intersect1d(sa, sb, assume_unique=True).size
+    def explode_pairs(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        doc = np.concatenate([a, b])
+        return pa.table({
+            "db": pa.array(doc % NB, pa.int64()),
+            "doc_id": pa.array(doc, pa.int64()),
+            "a": pa.array(np.concatenate([a, a]), pa.int64()),
+            "b": pa.array(np.concatenate([b, b]), pa.int64()),
+            "text": pa.array([None] * (2 * len(a)), pa.string()),
+        })
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        doc = batch.column("doc_id").cast(pa.int64())
+        return pa.table({
+            "db": pa.array(doc.to_numpy(zero_copy_only=False) % NB,
+                           pa.int64()),
+            "doc_id": doc,
+            "a": pa.array(np.full(n, -1), pa.int64()),
+            "b": pa.array(np.full(n, -1), pa.int64()),
+            "text": batch.column("text").cast(pa.string()),
+        })
+
+    need = pairs_ds.map_batches(explode_pairs, batch_format="pyarrow")
+    docs = (docs_ds.select_columns(["doc_id", "text"])
+            .map_batches(tag_docs, batch_format="pyarrow"))
+
+    def attach_shingles(g: pd.DataFrame) -> pd.DataFrame:
+        # one bucket = many docs: shingle each needed doc ONCE, then a
+        # vectorized merge fans the blob out to its pair rows
+        pair_rows = g[g["a"] >= 0]
+        if pair_rows.empty:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "sh": pd.Series(dtype="object")})
+        needed = set(pair_rows["doc_id"])
+        doc_rows = g[(g["a"] < 0) & g["doc_id"].isin(needed)]
+        blobs = pd.DataFrame({
+            "doc_id": doc_rows["doc_id"].astype("int64"),
+            "sh": [_shingles(str(t), k).tobytes()
+                   for t in doc_rows["text"]]})
+        m = pair_rows[["doc_id", "a", "b"]].merge(blobs, on="doc_id",
+                                                  how="inner")
+        return m[["a", "b", "sh"]]
+
+    sides = (need.union(docs).groupby("db")
+             .map_groups(attach_shingles, batch_format="pandas")
+             .map_batches(lambda t: t, batch_format="pyarrow"))
+
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "pb", pa.array((a * np.int64(1000003) + b) % NB, pa.int64()))
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["a", "b"], kind="stable")
+        out_a, out_b, out_j = [], [], []
+        it = g.itertuples(index=False)
+        prev = None
+        for row in it:
+            cur = (row.a, row.b)
+            if prev is not None and cur == prev[0]:
+                sa = np.frombuffer(prev[1], dtype=np.uint64)
+                sb = np.frombuffer(row.sh, dtype=np.uint64)
+                inter = np.intersect1d(sa, sb,
+                                       assume_unique=True).size
                 union = sa.size + sb.size - inter
-                sims.append(inter / union if union else 1.0)
-            df["jaccard"] = np.round(sims, 6)
-            out = df[df["jaccard"] >= threshold]
-            return pa.Table.from_pandas(out, preserve_index=False)
+                j = round(inter / union, 6) if union else 1.0
+                if j >= threshold:
+                    out_a.append(row.a)
+                    out_b.append(row.b)
+                    out_j.append(j)
+                prev = None
+            else:
+                prev = (cur, row.sh)
+        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
+                             "b": pd.Series(out_b, dtype="int64"),
+                             "jaccard": pd.Series(out_j,
+                                                  dtype="float64")})
 
-    return pairs_ds.map_batches(Verify, batch_format="pyarrow",
-                                concurrency=pool_share(0.25, cap=4),
-                                num_cpus=1)
+    return (sides.map_batches(add_pair_bucket, batch_format="pyarrow")
+            .groupby("pb")
+            .map_groups(verify_bucket, batch_format="pandas"))
 
 
 class SimHasher:
@@ -202,59 +308,122 @@ class SimHasher:
 
 def simhash_signatures(docs_ds):
     return docs_ds.map_batches(SimHasher, batch_format="pyarrow",
-                               concurrency=2, num_cpus=1)
+                               concurrency=default_concurrency(),
+                               num_cpus=1)
 
 
-def connected_components(pairs_ds, max_rounds: int = 10):
-    """Min-label propagation over candidate-pair edges (groupby rounds).
+def connected_components(pairs_ds, max_rounds: int = 15,
+                         num_buckets: int = 32):
+    """Min-label propagation over candidate-pair edges — labels stay a
+    Dataset end-to-end; the driver only ever sees one scalar per round.
 
-    Returns (node, component) with component = min doc_id reachable.
-    Each round is a groupby-min shuffle; rounds are O(log(diameter))
-    because edges always include the bucket minimum."""
+    Returns (a=node, label=component) with label = min doc_id reachable.
+    Each round is one bucketed hash shuffle + one groupby-Min:
+      1. edges keyed on the neighbor, current labels keyed on the node,
+         and SHORTCUT edges (node <-> label, i.e. pointer jumping — so
+         label(label(n)) reaches n in one round, O(log diameter) rounds
+         instead of O(diameter)) are co-located by ``key % B``; inside
+         each bucket a vectorized pandas merge attaches each key's label
+         to every edge pointing at it and pre-combines per node — B
+         Python calls per round, NOT one per graph node;
+      2. groupby(node) Min folds the propagated labels with each node's
+         own label.
+    Labels are monotonically non-increasing, so convergence ==
+    Sum(label) unchanged — a single aggregate scalar, never an
+    O(nodes) driver dict (that was the round-1 scale killer)."""
     from ray.data.aggregate import Min
 
-    # undirected edges both ways
     def both_dirs(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
         rev = df.rename(columns={"a": "b", "b": "a"})
         out = pd.concat([df[["a", "b"]], rev[["a", "b"]]])
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    labels = None
-    edges = pairs_ds.map_batches(both_dirs, batch_format="pyarrow")
-    edges_mat = edges.materialize()
-    # initial label: min neighbor (including self via union below)
-    labels = (edges_mat.groupby("a").aggregate(Min("b", alias_name="label")))
+    edges = (pairs_ds.map_batches(both_dirs, batch_format="pyarrow")
+             .materialize())
+
+    # initial label per node: min(self, min neighbor)
+    labels = edges.groupby("a").aggregate(Min("b", alias_name="label"))
 
     def self_min(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
-        df["label"] = np.minimum(df["a"], df["label"])
-        return pa.Table.from_pandas(df, preserve_index=False)
+        df["label"] = np.minimum(df["a"], df["label"]).astype("int64")
+        return pa.Table.from_pandas(df[["a", "label"]],
+                                    preserve_index=False)
 
-    labels = labels.map_batches(self_min, batch_format="pyarrow")
+    labels = labels.map_batches(self_min,
+                                batch_format="pyarrow").materialize()
+
+    nb = np.int64(num_buckets)
+
+    def tag_edges(b: pa.Table) -> pa.Table:
+        key = b.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "kb": pa.array(key % nb, pa.int64()),
+            "key": pa.array(key, pa.int64()),
+            "node": b.column("a").cast(pa.int64()),
+            "label": pa.array(np.full(b.num_rows, -1), pa.int64()),
+        })
+
+    def tag_labels(b: pa.Table) -> pa.Table:
+        key = b.column("a").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "kb": pa.array(key % nb, pa.int64()),
+            "key": pa.array(key, pa.int64()),
+            "node": pa.array(np.full(b.num_rows, -1), pa.int64()),
+            "label": b.column("label").cast(pa.int64()),
+        })
+
+    def tag_label_edges(b: pa.Table) -> pa.Table:
+        n = b.column("a").to_numpy(zero_copy_only=False)
+        lab = b.column("label").to_numpy(zero_copy_only=False)
+        m = n != lab
+        n, lab = n[m], lab[m]
+        key = np.concatenate([lab, n])
+        return pa.table({
+            "kb": pa.array(key % nb, pa.int64()),
+            "key": pa.array(key, pa.int64()),
+            "node": pa.array(np.concatenate([n, lab]), pa.int64()),
+            "label": pa.array(np.full(2 * len(n), -1), pa.int64()),
+        })
+
+    def propagate_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lbl = g.loc[g["node"] < 0, ["key", "label"]]
+        edg = g.loc[g["node"] >= 0, ["key", "node"]]
+        if edg.empty:
+            return lbl.rename(columns={"key": "a"})[["a", "label"]]
+        m = edg.merge(lbl, on="key", how="left")
+        m["label"] = m["label"].fillna(m["key"]).astype("int64")
+        out = pd.concat([
+            m[["node", "label"]].rename(columns={"node": "a"}),
+            lbl.rename(columns={"key": "a"})[["a", "label"]]])
+        # map-side combine before the global groupby-Min
+        return out.groupby("a", as_index=False)["label"].min()
+
+    prev_sum = None
+    edges_tagged = edges.map_batches(tag_edges, batch_format="pyarrow")
     for _ in range(max_rounds):
-        labels_mat = labels.materialize()
-        # join edges with neighbor labels via broadcast (labels are small:
-        # one row per node in any candidate pair)
-        lab = {int(r["a"]): int(r["label"])
-               for r in labels_mat.iter_rows()}
-
-        def prop(b: pa.Table) -> pa.Table:
-            df = b.to_pandas()
-            df["label"] = np.minimum(
-                df["a"].map(lab).fillna(df["a"]),
-                df["b"].map(lab).fillna(df["b"])).astype("int64")
-            return pa.Table.from_pandas(df[["a", "label"]],
-                                        preserve_index=False)
-
-        new_labels = (edges_mat.map_batches(prop, batch_format="pyarrow")
-                      .groupby("a").aggregate(Min("label",
-                                                  alias_name="label")))
-        new_mat = new_labels.materialize()
-        new_lab = {int(r["a"]): int(r["label"])
-                   for r in new_mat.iter_rows()}
-        if new_lab == lab:
-            labels = new_mat
+        s = labels.sum("label")
+        if prev_sum is not None and s == prev_sum:
             break
-        labels = new_mat
+        prev_sum = s
+        lbl_tagged = labels.map_batches(tag_labels,
+                                        batch_format="pyarrow")
+        shortcut = labels.map_batches(tag_label_edges,
+                                      batch_format="pyarrow")
+        prop = (edges_tagged.union(shortcut).union(lbl_tagged)
+                .groupby("kb")
+                .map_groups(propagate_bucket, batch_format="pandas")
+                # normalize to Arrow blocks: union with the Arrow-block
+                # labels dataset must not mix block types for the next
+                # sort-shuffle
+                .map_batches(lambda t: t, batch_format="pyarrow"))
+        labels = (prop.union(labels).groupby("a")
+                  .aggregate(Min("label", alias_name="label"))
+                  # union ADDS block counts, so without rebounding them
+                  # the per-round sort degrades geometrically (measured:
+                  # 3 s -> 13 s -> 132 s per round); repartition is a
+                  # cheap metadata-level merge here
+                  .repartition(default_concurrency())
+                  .materialize())
     return labels

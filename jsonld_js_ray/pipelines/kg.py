@@ -173,16 +173,15 @@ def run_kg_pipeline(input_path: str, out_dir: str,
                 lambda df: df, batch_format="pandas")
         quads.write_parquet(data_dir, partition_cols=["partition_id"])
 
-        # per-partition metrics from the written files
+        # per-partition metrics: quad counts from parquet metadata only
+        # (no data read); doc counts via a distributed two-stage
+        # distinct — never materialize the written quads on the driver
         dataset = pads.dataset(data_dir, partitioning="hive")
         counts = {}
         for frag in dataset.get_fragments():
             part = _hive_partition_id(frag.path)
             counts[part] = counts.get(part, 0) + frag.count_rows()
-        tbl = dataset.to_table(columns=["partition_id", "content_sha256"])
-        df = tbl.to_pandas()
-        ndocs = (df.groupby("partition_id")["content_sha256"].nunique()
-                 .to_dict())
+        ndocs = _distinct_docs_per_partition(data_dir)
 
     for part, n in counts.items():
         if part in completed:
@@ -200,6 +199,41 @@ def run_kg_pipeline(input_path: str, out_dir: str,
     return total
 
 
+def _distinct_docs_per_partition(data_dir: str) -> dict:
+    """Distinct content_sha256 per partition_id over a written hive
+    dataset — two-stage distinct (batch-local dedup → global pair
+    groupby → per-partition count), all distributed; the driver only
+    receives one row per partition."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    mds = ray.data.read_parquet(data_dir,
+                                columns=["content_sha256"],
+                                partitioning="hive")
+
+    def local_pairs(b: pa.Table) -> pa.Table:
+        df = (b.select(["partition_id", "content_sha256"]).to_pandas()
+              .drop_duplicates())
+        df["partition_id"] = df["partition_id"].astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pair = (mds.map_batches(local_pairs, batch_format="pyarrow")
+            .groupby(["partition_id", "content_sha256"])
+            .aggregate(Count(alias_name="_c")))
+
+    def local_counts(b: pa.Table) -> pa.Table:
+        df = b.select(["partition_id"]).to_pandas()
+        g = (df.groupby("partition_id").size()
+             .rename("n_docs").reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (pair.map_batches(local_counts, batch_format="pyarrow")
+           .groupby("partition_id")
+           .aggregate(Sum("n_docs", alias_name="n_docs")))
+    return {int(r["partition_id"]): int(r["n_docs"])
+            for r in out.take_all()}
+
+
 def _hive_partition_id(path: str) -> int:
     for seg in path.split(os.sep):
         if seg.startswith("partition_id="):
@@ -211,19 +245,36 @@ def entity_summary(quads_ds):
     """Entity-linking aggregate: per canonical subject IRI, triple count and
     referencing-doc count. Skew-safe: partial per-batch combine (vectorized
     pandas groupby) before the small global groupby-sum (SURVEY.md §2.5).
+
+    n_docs is a TRUE distinct count via two-stage groupby — a per-batch
+    ``nunique`` summed globally would count a document once per block it
+    spans, making the result vary with partitioning. Stage 1 reduces to
+    one row per (subject, doc) pair (carrying partial quad counts);
+    stage 2 counts those rows per subject.
     """
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.select(["subject", "content_sha256"]).to_pandas()
-        g = (df.groupby("subject")
-               .agg(n_quads=("subject", "size"),
-                    n_docs=("content_sha256", "nunique"))
+        g = (df.groupby(["subject", "content_sha256"])
+               .agg(n_quads=("subject", "size"))
                .reset_index())
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    partials = quads_ds.map_batches(partial, batch_format="pyarrow")
-    return (partials.groupby("subject")
+    pair = (quads_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["subject", "content_sha256"])
+            .aggregate(Sum("n_quads", alias_name="n_quads")))
+
+    def per_subject(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (df.groupby("subject")
+               .agg(n_quads=("n_quads", "sum"),
+                    n_docs=("content_sha256", "size"))
+               .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (pair.map_batches(per_subject, batch_format="pyarrow")
+            .groupby("subject")
             .aggregate(Sum("n_quads", alias_name="n_quads"),
                        Sum("n_docs", alias_name="n_docs")))
 

@@ -37,13 +37,21 @@ def partial_dedup_batch(batch: pa.Table) -> pa.Table:
 
 def add_quad_hash(batch: pa.Table,
                   num_buckets: int | None = DEFAULT_BUCKETS) -> pa.Table:
-    """Vectorized 64-bit hash of the quad tuple (+ optional coarse
-    shuffle bucket). Hashes column-by-column and mixes — 2.6x faster
-    than materializing a concatenated key string per row."""
+    """Vectorized hash of the quad tuple (+ optional coarse shuffle
+    bucket). Hashes column-by-column and mixes — 2.6x faster than
+    materializing a concatenated key string per row.
+
+    Emits TWO independent 64-bit mixes (``quad_hash``, ``quad_hash2``)
+    so hash-keyed dedup state (the streaming sink's cross-flush seen
+    set) can key on the 128-bit pair: 64-bit birthday collisions are
+    ~50% at ~5e9 quads — real at design scale — while 128 bits are
+    negligible past 10^15."""
     import numpy as np
     df = batch.select(QUAD_COLS).to_pandas()
     acc = np.zeros(len(df), dtype=np.uint64)
+    acc2 = np.full(len(df), 0x6A09E667F3BCC908, dtype=np.uint64)
     mult = np.uint64(0x9E3779B97F4A7C15)
+    mult2 = np.uint64(0xC2B2AE3D27D4EB4F)
     for c in QUAD_COLS:
         col = df[c]
         if col.dtype == object:
@@ -51,8 +59,11 @@ def add_quad_hash(batch: pa.Table,
                 col.fillna("\x01").to_numpy(dtype=object))
         else:
             hc = pd.util.hash_array(col.to_numpy())
-        acc = (acc * mult) ^ hc.astype(np.uint64)
+        hc = hc.astype(np.uint64)
+        acc = (acc * mult) ^ hc
+        acc2 = (acc2 * mult2) ^ (hc * mult)
     batch = batch.append_column("quad_hash", pa.array(acc, pa.uint64()))
+    batch = batch.append_column("quad_hash2", pa.array(acc2, pa.uint64()))
     if num_buckets is None:
         return batch
     return batch.append_column(
@@ -71,7 +82,7 @@ def dedup_quads(ds, num_buckets: int = DEFAULT_BUCKETS):
                         batch_format="pyarrow")
     ds = ds.groupby("dedup_bucket").map_groups(_dedup_bucket,
                                                batch_format="pandas")
-    return ds.drop_columns(["quad_hash", "dedup_bucket"])
+    return ds.drop_columns(["quad_hash", "quad_hash2", "dedup_bucket"])
 
 
 def dedup_quads_per_partition(ds):

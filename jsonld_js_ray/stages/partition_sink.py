@@ -1,20 +1,20 @@
 """Streaming partitioned sink: writer-actor hash exchange.
 
 Replaces the ``groupby(partition_id)`` sort barrier (an all-to-all whose
-reduce phase did not scale on the target box) with the raw-actor pattern
-the Dataset API cannot express (see /opt/skills/guides note on dropping
-to actors only for shared mutable state): a small pool of
+reduce phase did not scale on the target box) with a raw-actor pattern —
+the Dataset API cannot express a sink whose shared mutable state (the
+cross-flush dedup seen-set) must outlive any one batch: a small pool of
 ``PartitionWriter`` actors, each owning ``partition_id % W`` partitions.
 Upstream ``map_batches`` tasks split every batch by partition and ship
 each sub-table to its owner actor through the object store (zero-copy
 Arrow); each task ``ray.get``s its send acks, which is the backpressure.
 
-Each actor holds the mutable per-partition state exact global dedup
-needs — a seen-set of 64-bit quad hashes — and flushes per-partition
-Parquet files plus manifest counts at finalize. Rows within one flush
-window are deduped with the deterministic winner (min content_sha256,
-then path); across flush windows first-write-wins (documented
-relaxation at >memory scale).
+Each actor holds the mutable per-partition dedup state — within one
+flush window winners are selected on the FULL quad columns (exact);
+across flush windows a seen-set keyed on a 128-bit hash pair gives
+near-exact first-write-wins dedup (collision odds negligible below
+~10^15 quads; 64 bits alone would collide at ~5e9). Flushes write
+per-partition Parquet files plus manifest counts at finalize.
 
 Fault story: a lost writer loses only its partitions; they are absent
 from the manifest, so a resumed run recomputes exactly those
@@ -87,6 +87,7 @@ def _writer_class():
                     continue
                 tbl = pa.concat_tables(tables)
                 if self.dedup and "quad_hash" in tbl.column_names:
+                    from .dedup import QUAD_COLS
                     h = tbl.column("quad_hash").to_numpy(
                         zero_copy_only=False)
                     uniq, first_idx, counts = np.unique(
@@ -95,7 +96,10 @@ def _writer_class():
                         # deterministic winner ONLY for the (rare)
                         # duplicated hashes: min (content_sha256, path);
                         # unique hashes keep their single row untouched —
-                        # avoids sorting the whole partition
+                        # avoids sorting the whole partition. Winner
+                        # selection keys on the FULL quad columns, so a
+                        # 64-bit collision between distinct quads keeps
+                        # both rows instead of silently merging them.
                         dup_hashes = uniq[counts > 1]
                         dup_mask = np.isin(h, dup_hashes)
                         sub = tbl.filter(pa.array(dup_mask)).to_pandas()
@@ -103,7 +107,7 @@ def _writer_class():
                         sub = sub.sort_values(
                             ["content_sha256", "path"], kind="stable")
                         winners = (sub.drop_duplicates(
-                            subset=["quad_hash"], keep="first")["_orig"]
+                            subset=QUAD_COLS, keep="first")["_orig"]
                             .to_numpy())
                         keep = np.concatenate(
                             [first_idx[counts == 1], winners])
@@ -111,14 +115,23 @@ def _writer_class():
                         tbl = tbl.take(pa.array(keep))
                         h = tbl.column("quad_hash").to_numpy(
                             zero_copy_only=False)
+                    # cross-flush seen set keys on the 128-bit
+                    # (quad_hash, quad_hash2) pair — 64 bits alone has
+                    # ~50% birthday collision odds at ~5e9 quads
+                    if "quad_hash2" in tbl.column_names:
+                        h2 = tbl.column("quad_hash2").to_numpy(
+                            zero_copy_only=False)
+                    else:
+                        h2 = np.zeros(len(h), dtype=np.uint64)
                     seen = self.seen.setdefault(pid, set())
                     if seen:
                         mask = ~np.fromiter(
-                            (int(x) in seen for x in h), bool, len(h))
+                            ((int(x), int(y)) in seen
+                             for x, y in zip(h, h2)), bool, len(h))
                         if not mask.all():
                             tbl = tbl.filter(pa.array(mask))
-                            h = h[mask]
-                    seen.update(int(x) for x in h)
+                            h, h2 = h[mask], h2[mask]
+                    seen.update((int(x), int(y)) for x, y in zip(h, h2))
                 shas = tbl.column("content_sha256").to_numpy(
                     zero_copy_only=False)
                 self.docs.setdefault(pid, set()).update(
@@ -126,7 +139,8 @@ def _writer_class():
                 part_dir = os.path.join(self.out_dir,
                                         f"partition_id={pid}")
                 os.makedirs(part_dir, exist_ok=True)
-                drop = [c for c in ("quad_hash", "partition_id")
+                drop = [c for c in ("quad_hash", "quad_hash2",
+                                    "partition_id")
                         if c in tbl.column_names]
                 out = tbl.drop_columns(drop) if drop else tbl
                 path = os.path.join(

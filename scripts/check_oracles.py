@@ -43,11 +43,18 @@ def compare(name, ray_df, sql_df):
         a, b = normalize(ray_df), normalize(sql_df)
         for col in a.columns:
             av, bv = a[col], b[col]
+            # Dtype-exact, like the driver's hash gate: identical values
+            # with different dtypes (e.g. int64 vs float64 from a DuckDB
+            # HUGEINT sum) must FAIL here too, or mismatches slip through.
+            if str(av.dtype) != str(bv.dtype):
+                problems.append(
+                    f"dtype differs in col {col}: "
+                    f"ray={av.dtype} sql={bv.dtype}")
+                continue
             try:
-                if av.dtype.kind == "f" or bv.dtype.kind == "f":
+                if av.dtype.kind == "f":
                     import numpy as np
-                    if not np.allclose(av.astype(float),
-                                       bv.astype(float),
+                    if not np.allclose(av.values, bv.values,
                                        rtol=0, atol=1e-9, equal_nan=True):
                         problems.append(f"values differ in col {col}")
                 else:

@@ -126,6 +126,21 @@ class TestRayPipeline:
         assert (ent["n_quads"] > 0).all()
         assert ent["subject"].is_unique
 
+    def test_entity_summary_partition_invariant(self):
+        # one document's quads split over many blocks must still count
+        # n_docs=1 (per-batch nunique summed globally would give
+        # n_docs = number of blocks)
+        import pandas as pd
+        import ray.data as rd
+        from jsonld_js_ray.pipelines.kg import entity_summary
+        df = pd.DataFrame({"subject": ["s"] * 8,
+                           "content_sha256": ["doc1"] * 8})
+        for nblocks in (1, 4, 8):
+            out = entity_summary(
+                rd.from_pandas(df).repartition(nblocks)).to_pandas()
+            assert out.to_dict("records") == [
+                {"subject": "s", "n_quads": 8, "n_docs": 1}]
+
     def test_doc_status_quarantine(self):
         import pyarrow as pa
         import ray
