@@ -541,7 +541,8 @@ def oracle_sql() -> dict[str, str]:
         "part_brand_stats": """
             SELECT p_brand, count(*) AS n_parts,
                    round(sum(p_retailprice), 2) AS sum_price,
-                   min(p_size) AS min_size, max(p_size) AS max_size
+                   CAST(min(p_size) AS BIGINT) AS min_size,
+                   CAST(max(p_size) AS BIGINT) AS max_size
             FROM part GROUP BY p_brand
         """,
         "events_hourly": """
