@@ -1,0 +1,191 @@
+"""Manifest-driven W3C-style conformance runner.
+
+Mirrors the reference's suite runner (/root/reference/tests/test.js:139-431):
+each directory under tests/fixtures/w3c/ holds a ``manifest.jsonld`` whose
+entries carry a test ``@type`` (jld:ExpandTest, jld:CompactTest,
+jld:FlattenTest, jld:ToRDFTest, jld:FromRDFTest, jld:FrameTest,
+rdfc:RDFC10EvalTest, rdfc:RDFC10MapTest) combined with
+jld:PositiveEvaluationTest / jld:NegativeEvaluationTest /
+jld:PositiveSyntaxTest, plus ``input`` / ``context`` / ``frame`` /
+``expect`` / ``expectErrorCode`` file references and an ``option`` object
+(base, specVersion, expandContext, rdfDirection, useNativeTypes,
+useRdfType, produceGeneralizedRdf, compactArrays, processingMode).
+
+Comparators mirror the reference:
+- JSON tests: deep equality (tests/test.js:1127-1140).
+- ToRDF tests: canonize BOTH sides with RDFC-1.0 then compare strings,
+  i.e. blank-node-label-insensitive dataset equality
+  (tests/test.js:1157-1179 compareCanonizedExpectedNQuads).
+- RDFC10EvalTest: exact canonical N-Quads string equality.
+- RDFC10MapTest: issued canonical-label map equality
+  (tests/test.js:1181-1195).
+- Negative tests: JsonLdError.code equality (tests/test.js:1209-1227).
+
+The fixture files are a hand-transcribed slice of the public W3C
+json-ld-api / rdf-canon test suites (see tests/fixtures/w3c/README.md for
+provenance); the fixtures directory layout and the manifest vocabulary
+follow the official suites so this runner generalizes to a full checkout.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+import pytest
+
+from jsonld_js_ray import api
+from jsonld_js_ray.core.errors import JsonLdError
+from jsonld_js_ray.core.canonize import canonical_id_map
+from jsonld_js_ray.core.canonize import canonize as canonize_nquads
+from jsonld_js_ray.core.nquads import parse as parse_nquads
+
+FIXTURES = pathlib.Path(__file__).parent / "fixtures" / "w3c"
+# Official suite base IRI convention: tests resolve relative IRIs against
+# their own input document URL under this base.
+OFFICIAL_BASE = "https://w3c.github.io/json-ld-api/tests/"
+
+
+def _load_manifests():
+    cases = []
+    for manifest in sorted(FIXTURES.glob("*/manifest.jsonld")):
+        suite_dir = manifest.parent
+        data = json.loads(manifest.read_text())
+        for entry in data.get("sequence", []):
+            cases.append((suite_dir, entry))
+    return cases
+
+
+CASES = _load_manifests()
+
+
+def _case_id(case):
+    suite_dir, entry = case
+    return f"{suite_dir.name}/{entry['@id'].lstrip('#')}"
+
+
+def _read_json(suite_dir, name):
+    return json.loads((suite_dir / name).read_text())
+
+
+def _read_text(suite_dir, name):
+    return (suite_dir / name).read_text()
+
+
+def _options_for(suite_dir, entry):
+    opt = dict(entry.get("option") or {})
+    options: dict = {}
+    if "base" in opt:  # explicit base, possibly null (e.g. canonize-style)
+        options["base"] = opt["base"]
+    else:
+        options["base"] = (
+            f"{OFFICIAL_BASE}{suite_dir.name}/{entry['input']}")
+    spec_version = opt.get("specVersion")
+    if spec_version == "json-ld-1.0":
+        options["processingMode"] = "json-ld-1.0"
+    if "processingMode" in opt:
+        options["processingMode"] = opt["processingMode"]
+    if "expandContext" in opt:
+        options["expandContext"] = _read_json(suite_dir,
+                                              opt["expandContext"])
+    for key in ("rdfDirection", "useNativeTypes", "useRdfType",
+                "produceGeneralizedRdf", "compactArrays",
+                "compactToRelative", "omitGraph", "processingMode"):
+        if key in opt:
+            options[key] = opt[key]
+    return options
+
+
+def _types(entry):
+    t = entry.get("@type", [])
+    return t if isinstance(t, list) else [t]
+
+
+def _run_positive(suite_dir, entry, options):
+    """Dispatch on test type; return (actual, expected, comparator)."""
+    types = _types(entry)
+    inp = entry["input"]
+    if "jld:ExpandTest" in types:
+        doc = _read_json(suite_dir, inp)
+        return api.expand(doc, options)
+    if "jld:CompactTest" in types:
+        doc = _read_json(suite_dir, inp)
+        ctx = _read_json(suite_dir, entry["context"])
+        if isinstance(ctx, dict) and "@context" in ctx:
+            ctx = ctx["@context"]
+        return api.compact(doc, ctx, options)
+    if "jld:FlattenTest" in types:
+        doc = _read_json(suite_dir, inp)
+        ctx = None
+        if "context" in entry:
+            ctx = _read_json(suite_dir, entry["context"])
+            if isinstance(ctx, dict) and "@context" in ctx:
+                ctx = ctx["@context"]
+        return api.flatten(doc, ctx, options)
+    if "jld:FrameTest" in types:
+        doc = _read_json(suite_dir, inp)
+        frame_doc = _read_json(suite_dir, entry["frame"])
+        return api.frame(doc, frame_doc, options)
+    if "jld:ToRDFTest" in types:
+        doc = _read_json(suite_dir, inp)
+        return api.to_nquads(doc, options)
+    if "jld:FromRDFTest" in types:
+        nq = _read_text(suite_dir, inp)
+        return api.from_rdf(nq, options)
+    if "rdfc:RDFC10EvalTest" in types:
+        quads = parse_nquads(_read_text(suite_dir, inp))
+        return canonize_nquads(quads)
+    if "rdfc:RDFC10MapTest" in types:
+        quads = parse_nquads(_read_text(suite_dir, inp))
+        return canonical_id_map(quads)
+    raise AssertionError(f"unknown test types {types}")
+
+
+@pytest.mark.parametrize("case", CASES, ids=_case_id)
+def test_w3c(case):
+    suite_dir, entry = case
+    types = _types(entry)
+    options = _options_for(suite_dir, entry)
+
+    if "jld:NegativeEvaluationTest" in types:
+        with pytest.raises(JsonLdError) as exc_info:
+            _run_positive(suite_dir, entry, options)
+        assert exc_info.value.code == entry["expectErrorCode"], (
+            f"expected error code {entry['expectErrorCode']!r}, "
+            f"got {exc_info.value.code!r}")
+        return
+
+    actual = _run_positive(suite_dir, entry, options)
+
+    if "jld:PositiveSyntaxTest" in types:
+        return  # ran without raising — pass
+
+    if "jld:ToRDFTest" in types:
+        # label-insensitive: canonize both sides then compare
+        # (mirrors compareCanonizedExpectedNQuads)
+        expected = _read_text(suite_dir, entry["expect"])
+        actual_c = canonize_nquads(parse_nquads(actual))
+        expected_c = canonize_nquads(parse_nquads(expected))
+        assert actual_c == expected_c, (
+            f"canonized datasets differ\n--- actual ---\n{actual_c}"
+            f"--- expected ---\n{expected_c}")
+    elif "rdfc:RDFC10EvalTest" in types:
+        expected = _read_text(suite_dir, entry["expect"])
+        assert actual == expected, (
+            f"canonical N-Quads differ\n--- actual ---\n{actual}"
+            f"--- expected ---\n{expected}")
+    elif "rdfc:RDFC10MapTest" in types:
+        expected = _read_json(suite_dir, entry["expect"])
+        assert actual == expected
+    else:
+        expected = _read_json(suite_dir, entry["expect"])
+        assert actual == expected, (
+            "JSON results differ\n--- actual ---\n"
+            f"{json.dumps(actual, indent=2, sort_keys=True)}\n"
+            "--- expected ---\n"
+            f"{json.dumps(expected, indent=2, sort_keys=True)}")
+
+
+def test_suite_loaded():
+    """The slice must actually be present and non-trivial."""
+    assert len(CASES) >= 50, f"only {len(CASES)} conformance cases found"
