@@ -352,6 +352,16 @@ def compact(active_ctx: ActiveContext, active_property: Optional[str],
     if not isinstance(element, dict):
         return element
 
+    # framing @link memo (cf. reference compact.js:105-113): when framing
+    # produced shared/cyclic node objects (@embed: @link), reuse the
+    # already-compacted object for the identical expanded object so shared
+    # structure survives and cycles terminate.
+    link = options.get("link")
+    if link is not None and "@id" in element:
+        for exp_id, compacted in link.get(element["@id"], []):
+            if exp_id == id(element):
+                return compacted
+
     td0 = active_ctx.mappings.get(active_property) or {}
 
     # previous context reversion for non-value/non-reference objects
@@ -368,12 +378,20 @@ def compact(active_ctx: ActiveContext, active_property: Optional[str],
     if is_value(element) or is_subject_reference(element):
         rval = compact_value(active_ctx, active_property, element, options)
         if not isinstance(rval, (dict, list)):
+            if link is not None and is_subject_reference(element):
+                link.setdefault(element["@id"], []).append(
+                    (id(element), rval))
             return rval
         if is_value(element):
             return rval
 
     inside_reverse = active_property == "@reverse"
     result: dict[str, Any] = {}
+    # register in the link memo BEFORE recursing into properties so a
+    # cyclic @link structure hits the memo instead of recursing forever
+    # (cf. reference compact.js:172-178)
+    if link is not None and "@id" in element:
+        link.setdefault(element["@id"], []).append((id(element), result))
 
     # type-scoped contexts, applied in compacted-term sorted order
     if "@type" in element:

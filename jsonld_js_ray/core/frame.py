@@ -28,9 +28,10 @@ def frame_document(document, frame_doc, options: dict):
     options.setdefault("explicit", False)
     options.setdefault("requireAll", False)
     options.setdefault("omitDefault", False)
-    options.setdefault("pruneBlankNodeIdentifiers", True)
-    options.setdefault("omitGraph",
-                       options.get("processingMode") != "json-ld-1.0")
+    # mode-specific defaults (cf. reference jsonld.js:458-464)
+    is11 = options.get("processingMode") != "json-ld-1.0"
+    options.setdefault("pruneBlankNodeIdentifiers", is11)
+    options.setdefault("omitGraph", is11)
 
     expanded = expand_document(document, options)
     frame_opts = dict(options)
@@ -68,8 +69,11 @@ def frame_document(document, frame_doc, options: dict):
                     if len(uses) == 1]
         _prune_bnodes(results, set(to_prune))
 
-    # compact with the frame's context
+    # compact with the frame's context; the link memo keeps @link-shared
+    # (possibly cyclic) structures shared through compaction
+    # (cf. reference jsonld.js:487-489 opts.link = {})
     compact_opts = dict(options)
+    compact_opts["link"] = {}
     compacted = compact_document(results, frame_ctx, compact_opts,
                                  from_flatten=True)
     # cleanup @preserve / null
@@ -264,6 +268,13 @@ def _match_frame(state, subjects, frame, parent, active_property,
             state["bnodeMap"].setdefault(sid, []).append(output)
         state["link"][sid] = output
 
+        # @first/@last are JSON-LD 1.0 embed modes; invalid in 1.1
+        # (cf. reference frame.js:130-135)
+        if embed in ("@first", "@last") \
+                and options.get("processingMode") != "json-ld-1.0":
+            raise JsonLdError(f"Invalid value of @embed: {embed}.",
+                              "invalid @embed value")
+
         if not embedded and sid in unique_embeds:
             # already embedded inside another top-level node
             continue
@@ -275,7 +286,12 @@ def _match_frame(state, subjects, frame, parent, active_property,
                 and sid in unique_embeds:
             _add_frame_output(parent, active_property, output)
             continue
-        unique_embeds[sid] = True
+        if embed == "@last" and sid in unique_embeds:
+            # replace the earlier embed with a node reference; only the
+            # last match stays embedded (cf. reference frame.js:162-167)
+            _remove_embed(state, sid)
+        unique_embeds[sid] = {"parent": parent,
+                              "property": active_property}
         state["subjectStack"].append((sid, subject))
 
         for prop in sorted(subject.keys()):
@@ -382,45 +398,102 @@ def _add_frame_output(parent, prop, output):
         parent.append(output)
 
 
-def _prune_bnodes(element, to_prune: set):
+def _remove_embed(state, sid):
+    """Replace a previously embedded node with a node reference and drop
+    dependent dangling embeds (cf. reference frame.js:645-684; used by
+    the 1.0 ``@embed: @last`` mode)."""
+    embeds = state["uniqueEmbeds"]
+    embed = embeds[sid]
+    parent, prop = embed["parent"], embed["property"]
+    subject_ref = {"@id": sid}
+    if isinstance(parent, list):
+        for i, e in enumerate(parent):
+            if isinstance(e, dict) and e.get("@id") == sid:
+                parent[i] = subject_ref
+                break
+    else:
+        vals = parent.get(prop)
+        if isinstance(vals, list):
+            parent[prop] = [
+                subject_ref if (isinstance(v, dict)
+                                and v.get("@id") == sid) else v
+                for v in vals]
+        elif vals is not None:
+            parent[prop] = subject_ref
+
+    def remove_dependents(dep_id):
+        for next_id in list(embeds.keys()):
+            e = embeds.get(next_id)
+            if e is not None and isinstance(e.get("parent"), dict) \
+                    and e["parent"].get("@id") == dep_id:
+                del embeds[next_id]
+                remove_dependents(next_id)
+    remove_dependents(sid)
+
+
+def _prune_bnodes(element, to_prune: set, _seen: set | None = None):
+    # _seen guards against @link cycles (shared in-memory structures)
+    if _seen is None:
+        _seen = set()
     if isinstance(element, list):
         for item in element:
-            _prune_bnodes(item, to_prune)
+            _prune_bnodes(item, to_prune, _seen)
     elif isinstance(element, dict):
+        if id(element) in _seen:
+            return
+        _seen.add(id(element))
         if "@id" in element and element["@id"] in to_prune \
                 and len(element) > 1:
             del element["@id"]
         for v in element.values():
-            _prune_bnodes(v, to_prune)
+            _prune_bnodes(v, to_prune, _seen)
 
 
-def _cleanup_preserve(element):
+def _cleanup_preserve(element, _memo: dict | None = None):
+    # _memo maps original dict identity -> rebuilt dict so @link-shared
+    # (possibly cyclic) structures stay shared and the walk terminates
+    if _memo is None:
+        _memo = {}
     if isinstance(element, list):
-        return [_cleanup_preserve(e) for e in element]
+        return [_cleanup_preserve(e, _memo) for e in element]
     if isinstance(element, dict):
+        if id(element) in _memo:
+            return _memo[id(element)]
         if "@preserve" in element and len(element) == 1:
             v = element["@preserve"]
             if isinstance(v, list) and len(v) == 1:
                 v = v[0]
             if v == "@null":
                 return None
-            return _cleanup_preserve(v)
-        return {k: _cleanup_preserve(v) for k, v in element.items()}
+            return _cleanup_preserve(v, _memo)
+        out: dict[str, Any] = {}
+        _memo[id(element)] = out
+        for k, v in element.items():
+            out[k] = _cleanup_preserve(v, _memo)
+        return out
     if element == "@null":
         return None
     return element
 
 
-def _cleanup_null(element):
+def _cleanup_null(element, _memo: dict | None = None):
+    if _memo is None:
+        _memo = {}
     if isinstance(element, list):
-        out = [_cleanup_null(e) for e in element]
+        out = [_cleanup_null(e, _memo) for e in element]
         return [e for e in out if e is not None]
     if isinstance(element, dict):
+        if id(element) in _memo:
+            return _memo[id(element)]
         if "@preserve" in element:
             v = element["@preserve"]
             if v == "@null" or v == ["@null"]:
                 return None
             return _cleanup_null(v if not isinstance(v, list) or
-                                 len(v) != 1 else v[0])
-        return {k: _cleanup_null(v) for k, v in element.items()}
+                                 len(v) != 1 else v[0], _memo)
+        out_d: dict[str, Any] = {}
+        _memo[id(element)] = out_d
+        for k, v in element.items():
+            out_d[k] = _cleanup_null(v, _memo)
+        return out_d
     return element
