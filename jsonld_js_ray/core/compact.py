@@ -25,6 +25,41 @@ def _shortest_least(a: str) -> tuple:
     return (len(a), a)
 
 
+def _curie_candidates(active_ctx: "ActiveContext", iri: str):
+    """Candidate (term-@id, term) pairs whose @id is a strict prefix of
+    ``iri``, for CURIE generation.
+
+    Plays the role of the reference's lazily built "fast CURIE map"
+    character trie (context.js:1372-1398): instead of an O(#terms) scan
+    per IRI, a per-active-context index {term @id -> [terms]} plus the
+    sorted set of distinct @id lengths turns lookup into one hash probe
+    per distinct prefix length (a handful even for schema.org-sized
+    contexts). Cached on the context like the inverse context."""
+    idx = active_ctx._curie_index
+    if idx is None:
+        by_tid: dict[str, list] = {}
+        for term, td in active_ctx.mappings.items():
+            if td is None or not td.get("_prefix"):
+                continue
+            tid = td.get("@id")
+            if not tid:
+                continue
+            by_tid.setdefault(tid, []).append(term)
+        idx = (by_tid, sorted({len(t) for t in by_tid}))
+        active_ctx._curie_index = idx
+    by_tid, lengths = idx
+    out = []
+    n = len(iri)
+    for ln in lengths:
+        if ln >= n:  # strict prefix only: iri == @id never forms a CURIE
+            break
+        terms = by_tid.get(iri[:ln])
+        if terms:
+            tid = iri[:ln]
+            out.extend((tid, term) for term in terms)
+    return out
+
+
 def inverse_context(active_ctx: ActiveContext) -> dict:
     """Inverse Context Creation (spec §4.3.2)."""
     if active_ctx._inverse is not None:
@@ -241,15 +276,13 @@ def compact_iri(active_ctx: ActiveContext, iri: Optional[str],
             if suffix not in active_ctx.mappings:
                 return suffix
 
-    # compact IRI via prefix candidates
+    # compact IRI via prefix candidates, found through the fast CURIE
+    # index instead of scanning every term (the reference builds a
+    # character trie for the same purpose: context.js:1372-1398, walked
+    # at compact.js:874-906; here a per-context {term-@id -> terms} map
+    # probed at each distinct prefix length gives the same candidate set)
     candidate = None
-    for term in sorted(active_ctx.mappings.keys(), key=_shortest_least):
-        td = active_ctx.mappings[term]
-        if td is None or not td.get("_prefix"):
-            continue
-        tid = td.get("@id")
-        if not tid or not iri.startswith(tid) or iri == tid:
-            continue
+    for tid, term in _curie_candidates(active_ctx, iri):
         curie = term + ":" + iri[len(tid):]
         curie_td = active_ctx.mappings.get(curie)
         if curie_td is not None and curie_td.get("@id") != iri:

@@ -47,7 +47,8 @@ def emit_event(options: dict, code: str, message: str, level: str = "warning"):
 class ActiveContext:
     __slots__ = ("mappings", "base", "original_base", "vocab",
                  "default_language", "default_direction", "processing_mode",
-                 "previous_context", "_inverse", "_uuid", "is_initial")
+                 "previous_context", "_inverse", "_curie_index", "_uuid",
+                 "is_initial")
 
     _counter = 0
 
@@ -61,6 +62,7 @@ class ActiveContext:
         self.processing_mode = processing_mode
         self.previous_context: Optional["ActiveContext"] = None
         self._inverse = None
+        self._curie_index = None
         self.is_initial = False
         ActiveContext._counter += 1
         self._uuid = ActiveContext._counter
