@@ -12,7 +12,10 @@ from typing import Any, Optional
 
 from .core.canonize import canonical_id_map, canonize as _canonize_quads
 from .core.canonize import canonize_quads
-from .core.context import initial_context, process_context
+from .core.context import (
+    initial_context, process_context, safe_event_handler,
+    set_default_event_handler, unhandled_event_handler,
+)
 from .core.expand import expand_document
 from .core.node_map import IdentifierIssuer, flatten_expanded
 from .core.nquads import parse as parse_nquads
@@ -158,4 +161,6 @@ __all__ = [
     "canonize_dataset", "canonize_quads", "canonical_id_map", "from_rdf",
     "compact", "frame", "parse_nquads", "serialize_nquads",
     "ContextResolver", "IdentifierIssuer",
+    "set_default_event_handler", "safe_event_handler",
+    "unhandled_event_handler",
 ]

@@ -26,22 +26,99 @@ SAFE_EVENT_CODES = frozenset({
     "invalid property", "null @id value", "null @value value",
     "object with only @id", "object with only @language", "object with only @list",
     "object with only @value", "relative @id reference", "relative @type reference",
-    "relative @vocab reference", "reserved @id value", "reserved term",
+    "relative @vocab reference", "reserved @id value", "reserved @reverse value",
+    "reserved term",
     "blank node predicate", "relative graph reference", "relative object reference",
     "relative predicate reference", "relative subject reference",
+    "rdfDirection not set",
 })
+
+# module-level default handler, like the reference's
+# events.defaultEventHandler (lib/events.js:21, :170-180)
+_default_event_handler: list | None = None
+
+
+def set_default_event_handler(handler=None):
+    """Install a default event handler used when a call provides none
+    (cf. reference events.setDefaultEventHandler, lib/events.js:170-180).
+    Pass a falsy value to unset."""
+    global _default_event_handler
+    if not handler:
+        _default_event_handler = None
+    elif isinstance(handler, (list, tuple)):
+        _default_event_handler = list(handler)
+    else:
+        _default_event_handler = [handler]
+
+
+def safe_event_handler(event: dict, next_handler):
+    """Reject unsafe warning conditions (cf. reference safeEventHandler,
+    lib/events.js:131-142)."""
+    if event["level"] == "warning" and event["code"] in SAFE_EVENT_CODES:
+        raise JsonLdError(event["message"], "invalid JSON-LD syntax",
+                          {"event_code": event["code"]})
+    next_handler()
+
+
+def unhandled_event_handler(event: dict, next_handler):
+    """Throw for any event that reached the end of the chain
+    (cf. reference unhandledEventHandler, lib/events.js:158-165)."""
+    raise JsonLdError(f"No handler for event: {event['message']}",
+                      "invalid event handler", {"event": event})
+
+
+def _run_handlers(event: dict, handlers) -> bool:
+    """Run a handler chain (cf. reference events._handle,
+    lib/events.js:73-101). Each handler is a callable ``fn(event, next)``,
+    a code-map ``{code: fn}`` (missing code implies next()), or a nested
+    list of handlers. Returns True if the chain fell through."""
+    do_next = True
+    for handler in handlers:
+        if not do_next:
+            break
+        do_next = False
+        if isinstance(handler, (list, tuple)):
+            do_next = _run_handlers(event, handler)
+        elif isinstance(handler, dict):
+            fn = handler.get(event["code"])
+            if fn is None:
+                do_next = True
+            else:
+                called: list = []
+                fn(event, lambda: called.append(True))
+                do_next = bool(called)
+        elif callable(handler):
+            called = []
+            handler(event, lambda: called.append(True))
+            do_next = bool(called)
+        else:
+            raise JsonLdError("Invalid event handler.",
+                              "invalid event handler", {"event": event})
+    return do_next
 
 
 def emit_event(options: dict, code: str, message: str, level: str = "warning"):
-    """Record a processing event; in safe mode listed codes become errors.
+    """Record a processing event, running the handler chain first.
 
-    Events accumulate in ``options['_events']`` so pipeline stages can emit
-    them as a side-output column (SURVEY.md §2.9)."""
-    if options.get("safe") and code in SAFE_EVENT_CODES:
-        raise JsonLdError(message, "invalid JSON-LD syntax",
-                          {"event_code": code})
-    options.setdefault("_events", []).append(
-        {"code": code, "level": level, "message": message})
+    The chain is built in priority order (cf. reference
+    events.setupEventHandler, lib/events.js:33-42): the safe-mode handler
+    when ``safe`` is set, then ``options['eventHandler']`` (a callable,
+    code-map dict, or list of either), then the module default handler.
+    Events always also accumulate in ``options['_events']`` so pipeline
+    stages can emit them as a side-output column (SURVEY.md §2.9)."""
+    event = {"code": code, "level": level, "message": message}
+    eh = options.get("eventHandler")
+    if options.get("safe") or eh is not None \
+            or _default_event_handler is not None:
+        handlers: list = []
+        if options.get("safe"):
+            handlers.append(safe_event_handler)
+        if eh is not None:
+            handlers.extend(eh if isinstance(eh, (list, tuple)) else [eh])
+        if _default_event_handler is not None:
+            handlers.extend(_default_event_handler)
+        _run_handlers(event, handlers)
+    options.setdefault("_events", []).append(event)
 
 
 class ActiveContext:

@@ -7,6 +7,7 @@ import pyarrow as pa
 import pytest
 
 from jsonld_js_ray import api
+from jsonld_js_ray.core.errors import JsonLdError
 
 V = "http://ex.org/"
 
@@ -136,3 +137,82 @@ class TestRdfIO:
         assert "application/x-test" in RDF_PARSERS
         unregister_rdf_parser("application/x-test")
         assert "application/x-test" not in RDF_PARSERS
+
+
+# ---------------------------------------------------------------------------
+# eventHandler chain / code-map surface (cf. reference lib/events.js:34-101)
+# ---------------------------------------------------------------------------
+
+def test_event_handler_function():
+    seen = []
+
+    def handler(event, next_):
+        seen.append(event["code"])
+        next_()
+
+    api.expand({"@context": {"@vocab": "http://e/"}, "@ignoreMe": "x",
+                "@id": "http://e/a", "p": "v"},
+               {"eventHandler": handler})
+    assert any("reserved" in c or "keyword" in c or c for c in seen)
+    assert seen  # at least one event reached the handler
+
+
+def test_event_handler_code_map_and_chain():
+    hits = []
+
+    def specific(event, next_):
+        hits.append(("map", event["code"]))
+        # do NOT call next_: chain stops here
+
+    def fallthrough(event, next_):
+        hits.append(("tail", event["code"]))
+        next_()
+
+    code_map = {"free-floating scalar": specific}
+    api.expand({"@context": {"@vocab": "http://e/"},
+                "@graph": ["scalar", {"@id": "http://e/a", "p": "v"}]},
+               {"eventHandler": [code_map, fallthrough]})
+    map_hits = [h for h in hits if h[0] == "map"]
+    tail_hits = [h for h in hits if h[0] == "tail"]
+    assert ("map", "free-floating scalar") in map_hits
+    # the handled code never fell through to the tail handler
+    assert all(c != "free-floating scalar" for _, c in tail_hits)
+
+
+def test_event_handler_safe_runs_first():
+    seen = []
+
+    def handler(event, next_):
+        seen.append(event["code"])
+        next_()
+
+    with pytest.raises(JsonLdError):
+        api.expand({"@context": {"@vocab": "http://e/"},
+                    "@graph": ["scalar"]},
+                   {"safe": True, "eventHandler": handler})
+    # the safe handler raised before the user handler saw the event
+    assert "free-floating scalar" not in seen
+
+
+def test_default_event_handler():
+    seen = []
+    api.set_default_event_handler(lambda e, n: (seen.append(e["code"]), n()))
+    try:
+        api.expand({"@context": {"@vocab": "http://e/"},
+                    "@graph": ["scalar", {"@id": "http://e/a", "p": "v"}]})
+        assert "free-floating scalar" in seen
+    finally:
+        api.set_default_event_handler(None)
+    # unset again: no error, no recording
+    seen.clear()
+    api.expand({"@context": {"@vocab": "http://e/"}, "@graph": ["scalar",
+                {"@id": "http://e/a", "p": "v"}]})
+    assert not seen
+
+
+def test_unhandled_event_handler_raises():
+    with pytest.raises(JsonLdError) as ei:
+        api.expand({"@context": {"@vocab": "http://e/"},
+                    "@graph": ["scalar", {"@id": "http://e/a", "p": "v"}]},
+                   {"eventHandler": api.unhandled_event_handler})
+    assert ei.value.code == "invalid event handler"
