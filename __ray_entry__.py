@@ -205,6 +205,19 @@ def _doc_near_dup_components(sf_dir: str):
     return connected_components(pairs)
 
 
+def _doc_ngram_jaccard(sf_dir: str):
+    from jsonld_js_ray.functions.dedup_text import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_docs(sf_dir), n=3, threshold=0.5)
+
+
+def _doc_embedding_near_dup(sf_dir: str):
+    import ray
+    from jsonld_js_ray.functions.ann import embedding_cosine_pairs
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return embedding_cosine_pairs(emb, threshold=0.35)
+
+
 # ---------------------------------------------------------------------------
 # embeddings: similarity search
 # ---------------------------------------------------------------------------
@@ -429,6 +442,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_near_dup": _doc_minhash_near_dup,
         "doc_simhash": _doc_simhash,
         "doc_near_dup_components": _doc_near_dup_components,
+        "doc_ngram_jaccard": _doc_ngram_jaccard,
+        "doc_embedding_near_dup": _doc_embedding_near_dup,
         # text analysis
         "doc_token_counts": _doc_token_counts,
         "doc_quality": _doc_quality,
@@ -537,6 +552,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                    round(sum(n_chars) / count(*)::DOUBLE, 6) AS avg_chars
             FROM documents GROUP BY lang
+        """,
+        "doc_ngram_jaccard": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS t
+              FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+              FROM toks,
+                   unnest(generate_series(1, greatest(len(t)-2, 0)))
+                     AS u(i)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams
+                      GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM grams a JOIN grams b
+                ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(i / (sa.n + sb.n - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE i / (sa.n + sb.n - i) >= 0.5
+        """,
+        "doc_embedding_near_dup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+                       AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
         """,
         "part_brand_stats": """
             SELECT p_brand, count(*) AS n_parts,

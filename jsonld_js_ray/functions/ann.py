@@ -154,3 +154,61 @@ def lsh_topk(embeddings_ds, query_ids, query_vectors, k: int = 10,
         per_bucket, batch_format="pandas")
     return cands.groupby("query_id").map_groups(_topk_group(k),
                                                 batch_format="pandas")
+
+
+class CosinePairsVsMatrix:
+    """Actor-pool stage: one float64 matmul per batch against the
+    broadcast corpus matrix; emits only above-threshold pairs a < b."""
+
+    def __init__(self, matrix_ref, threshold: float):
+        import ray
+        side = ray.get(matrix_ref)
+        self.ids = side["ids"]                    # int64 (n,)
+        self.mat = side["matrix"]                 # float64 (n, d)
+        self.norms = np.linalg.norm(self.mat, axis=1)
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vid = batch.column("vec_id").to_numpy()
+        emb = np.asarray(
+            [np.asarray(v, dtype=np.float64)
+             for v in batch.column("embedding").to_pylist()])
+        # cosine = dot / (|a| * |b|), matching the oracle's formula so
+        # float64 results agree to well under the 1e-6 rounding grid
+        dots = emb @ self.mat.T
+        bn = np.linalg.norm(emb, axis=1)
+        sims = dots / np.outer(bn, self.norms)
+        a_less_b = vid[:, None] < self.ids[None, :]
+        ia, ib = np.nonzero((sims >= self.threshold) & a_less_b)
+        return pa.table({
+            "vec_a": pa.array(vid[ia], pa.int64()),
+            "vec_b": pa.array(self.ids[ib], pa.int64()),
+            "cosine": pa.array(np.round(sims[ia, ib], 6), pa.float64()),
+        })
+
+
+def embedding_cosine_pairs(embeddings_ds, threshold: float = 0.35):
+    """Embedding-cosine near-duplicate pairs (brute-force baseline).
+
+    The corpus matrix is assembled once by streaming batches on the
+    driver, broadcast via ray.put, and every batch does a single float64
+    matmul against it — the same broadcast-small-side shape as
+    brute_force_topk. This is the exact baseline; the scale path once the
+    matrix no longer fits a node is the LSH-bucketed variant (lsh_topk's
+    bucketing), which trades recall for a bounded bucket join."""
+    import ray
+    ids, chunks = [], []
+    for b in embeddings_ds.select_columns(["vec_id", "embedding"]) \
+            .iter_batches(batch_format="pyarrow", batch_size=4096):
+        ids.append(b.column("vec_id").to_numpy())
+        chunks.append(np.asarray(
+            [np.asarray(v, dtype=np.float64)
+             for v in b.column("embedding").to_pylist()]))
+    side = {"ids": np.concatenate(ids),
+            "matrix": np.concatenate(chunks, axis=0)}
+    ref = ray.put(side)
+    return embeddings_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        CosinePairsVsMatrix,
+        fn_constructor_kwargs={"matrix_ref": ref, "threshold": threshold},
+        batch_format="pyarrow", concurrency=default_concurrency(8),
+        num_cpus=1)

@@ -427,3 +427,112 @@ def connected_components(pairs_ds, max_rounds: int = 15,
                   .repartition(default_concurrency())
                   .materialize())
     return labels
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard near-dup (inverted-index join)
+# ---------------------------------------------------------------------------
+
+_WS_RE = None
+
+
+def _word_ngrams(text: str, n: int) -> set:
+    """Distinct word n-grams after trim+lower, splitting on ASCII \\s+
+    (mirrors the SQL oracle's regexp_split_to_array(lower(trim(text)),
+    '\\s+'))."""
+    global _WS_RE
+    if _WS_RE is None:
+        import re
+        _WS_RE = re.compile(r"\s+", re.ASCII)
+    toks = _WS_RE.split(text.strip().lower())
+    if len(toks) < n:
+        return set()
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def ngram_jaccard_pairs(docs_ds, n: int = 3, threshold: float = 0.5,
+                        hot_gram_warn: int = 1024):
+    """Exact word-n-gram Jaccard near-duplicate pairs.
+
+    Inverted-index join, fully distributed:
+      1. map_batches: each doc → (gram, doc_id, n_grams) rows over its
+         DISTINCT n-grams (gram count rides along so no extra join).
+      2. groupby(gram).map_groups: emit all within-gram pairs a<b with
+         both sizes — docs sharing a gram are co-located by the shuffle.
+      3. groupby(doc_a, doc_b): Sum of pair rows = intersection size;
+         jaccard = i / (na + nb - i), filtered at ``threshold``.
+
+    Two shuffles, no driver-side state. Scale note: a gram shared by k
+    docs emits k(k-1)/2 pair rows, so at corpus scale stop-grams need a
+    cap/drop guard (which makes the result approximate); this exact
+    setting matches the SQL oracle, and groups beyond ``hot_gram_warn``
+    docs are logged as hot keys rather than silently truncated."""
+    from ray.data.aggregate import Min, Sum
+
+    n_buckets = 256
+
+    def explode_grams(batch: pa.Table) -> pa.Table:
+        df = batch.select(["doc_id", "text"]).to_pandas()
+        doc_ids, grams, sizes = [], [], []
+        for did, text in zip(df["doc_id"].to_numpy(),
+                             df["text"].to_numpy()):
+            gs = _word_ngrams(str(text), n)
+            doc_ids.extend([did] * len(gs))
+            grams.extend(gs)
+            sizes.extend([len(gs)] * len(gs))
+        t = pa.table({"gram": pa.array(grams, pa.string()),
+                      "doc_id": pa.array(doc_ids, pa.int64()),
+                      "n_grams": pa.array(sizes, pa.int64())})
+        # gram hash-bucket: one map_groups group per BUCKET, not per gram
+        # (per-gram groups would mean one python call per distinct gram)
+        bucket = pd.util.hash_array(
+            np.asarray(grams, dtype=object)) % n_buckets
+        return t.append_column(
+            "bucket", pa.array(bucket.astype("int64"), pa.int64()))
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized within-gram pairing: self-merge on gram, keep a<b
+        counts = g.groupby("gram")["doc_id"].transform("size")
+        hot = counts > hot_gram_warn
+        if hot.any():
+            for gram in g.loc[hot, "gram"].unique()[:5]:
+                print(f"[ngram_jaccard] hot gram "
+                      f"({int(counts[g['gram'] == gram].iloc[0])} docs): "
+                      f"{gram!r}")
+        m = g.merge(g, on="gram", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        # map-side combine: many grams of the same pair land in this
+        # bucket; pre-sum so the pair shuffle moves one row per
+        # (pair, bucket) instead of one per shared gram
+        out = (m.groupby(["doc_id_a", "doc_id_b"], as_index=False)
+               .agg(cnt=("gram", "size"), na=("n_grams_a", "first"),
+                    nb=("n_grams_b", "first")))
+        return pd.DataFrame({"doc_a": out["doc_id_a"].to_numpy(),
+                             "doc_b": out["doc_id_b"].to_numpy(),
+                             "cnt": out["cnt"].to_numpy().astype("int64"),
+                             "na": out["na"].to_numpy(),
+                             "nb": out["nb"].to_numpy()})
+
+    grams = docs_ds.map_batches(explode_grams, batch_format="pyarrow")
+    pair_rows = grams.groupby("bucket").map_groups(emit_pairs,
+                                                  batch_format="pandas")
+    agg = (pair_rows.groupby(["doc_a", "doc_b"])
+           .aggregate(Sum("cnt", alias_name="inter"),
+                      Min("na", alias_name="na"),
+                      Min("nb", alias_name="nb")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        # summed per-bucket partial counts = intersection size
+        inter = df["inter"].astype("int64")
+        union = df["na"] + df["nb"] - inter
+        jac = inter / union
+        keep = jac >= threshold
+        out = pd.DataFrame({
+            "doc_a": df.loc[keep, "doc_a"].astype("int64"),
+            "doc_b": df.loc[keep, "doc_b"].astype("int64"),
+            "jaccard": jac[keep].round(6).astype("float64"),
+        })
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return agg.map_batches(finish, batch_format="pyarrow")

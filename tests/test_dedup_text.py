@@ -94,3 +94,53 @@ def test_simhash_close_docs_close_hashes():
     ham_near = bin(h[4] ^ h[5]).count("1")
     ham_far = bin(h[1] ^ h[6]).count("1")
     assert ham_near < ham_far
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard + embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def test_ngram_jaccard_pairs_exact(ray_session):
+    import ray
+    from jsonld_js_ray.functions.dedup_text import ngram_jaccard_pairs
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumps over the lazy cat",   # near-dup of 1
+        3: "completely different words here in this one",
+        4: "the quick brown fox jumps over the lazy dog",   # exact dup of 1
+        5: "too short",                                     # <3 tokens: no grams
+    }
+    ds = ray.data.from_items(
+        [{"doc_id": k, "text": v} for k, v in texts.items()])
+    out = ngram_jaccard_pairs(ds, n=3, threshold=0.5).to_pandas()
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in out.itertuples()}
+    assert pairs[(1, 4)] == 1.0
+    # 1 vs 2: grams differ only in the last trigram windows
+    assert (1, 2) in pairs and 0.5 <= pairs[(1, 2)] < 1.0
+    assert pairs[(1, 2)] == pairs[(2, 4)]
+    assert not any(3 in p or 5 in p for p in pairs)
+    # python-reference oracle for the (1, 2) value
+    def grams(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i:i+3]) for i in range(len(toks)-2)}
+    g1, g2 = grams(texts[1]), grams(texts[2])
+    expect = round(len(g1 & g2) / len(g1 | g2), 6)
+    assert pairs[(1, 2)] == expect
+
+
+def test_embedding_cosine_pairs(ray_session):
+    import numpy as np
+    import ray
+    from jsonld_js_ray.functions.ann import embedding_cosine_pairs
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(40, 16)).astype("float32")
+    vecs[7] = vecs[3] + rng.normal(scale=0.01, size=16).astype("float32")
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(40)])
+    out = embedding_cosine_pairs(ds, threshold=0.9).to_pandas()
+    assert ((out.vec_a == 3) & (out.vec_b == 7)).any()
+    got = out[(out.vec_a == 3) & (out.vec_b == 7)].cosine.iloc[0]
+    a, b = vecs[3].astype("float64"), vecs[7].astype("float64")
+    expect = round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+    assert got == expect
+    assert (out.vec_a < out.vec_b).all()
