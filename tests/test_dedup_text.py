@@ -144,3 +144,74 @@ def test_embedding_cosine_pairs(ray_session):
     expect = round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
     assert got == expect
     assert (out.vec_a < out.vec_b).all()
+
+
+# ---------------------------------------------------------------------------
+# python-reference oracles for simhash / fingerprint (independent
+# single-process re-derivations of the algorithm definitions, checked
+# against the distributed pipelines; converts these rows-only queries
+# into value-verified ones)
+# ---------------------------------------------------------------------------
+
+def _ref_simhash(text: str) -> int:
+    """SimHash-64 per Charikar: per-token 64-bit hash, signed bit vote,
+    positive bits set. Deliberately written scalar-python (no numpy) so
+    it is an independent derivation from the definition."""
+    import hashlib as _h
+    import re as _re
+    toks = set(_re.findall(r"\w+", text.lower()))
+    if not toks:
+        return 0
+    votes = [0] * 64
+    for t in toks:
+        h = int.from_bytes(_h.blake2b(t.encode(), digest_size=8).digest(),
+                           "little")
+        for j in range(64):
+            votes[j] += 1 if (h >> j) & 1 else -1
+    sim = 0
+    for j in range(64):
+        if votes[j] > 0:
+            sim |= 1 << j
+    return sim % (1 << 63)
+
+
+def _ref_fingerprint(text: str, window: int = 8) -> int:
+    """Winnowing fingerprint: FNV-ish byte 4-gram hashes, min per sliding
+    window, summed — scalar-python re-derivation."""
+    data = text.encode("utf-8")
+    if len(data) < 4:
+        return sum(data)
+    M = (1 << 64) - 1
+    grams = [((data[i] * 16777619) & M ^ (data[i+1] * 31) & M
+              ^ (data[i+2] * 131) & M ^ data[i+3]) & M
+             for i in range(len(data) - 3)]
+    if len(grams) <= window:
+        return min(grams)
+    mins = [min(grams[i:i+window]) for i in range(len(grams) - window + 1)]
+    return sum(mins) % (1 << 63)
+
+
+def test_simhash_matches_python_reference(ray_session):
+    import ray
+    from jsonld_js_ray.functions.dedup_text import simhash_signatures
+    texts = {1: "the quick brown Fox", 2: "", 3: "a b c a b",
+             4: "unicode café naïve test tokens here"}
+    ds = ray.data.from_items(
+        [{"doc_id": k, "text": v} for k, v in texts.items()])
+    out = simhash_signatures(ds).to_pandas().set_index("doc_id")
+    for k, t in texts.items():
+        assert int(out.loc[k, "simhash"]) == _ref_simhash(t), k
+
+
+def test_fingerprint_matches_python_reference(ray_session):
+    import ray
+    from jsonld_js_ray.functions.text import fingerprint_batch
+    texts = {1: "abc", 2: "abcd", 3: "the quick brown fox " * 5,
+             4: "x" * 100}
+    ds = ray.data.from_items(
+        [{"doc_id": k, "text": v} for k, v in texts.items()])
+    out = ds.map_batches(fingerprint_batch,
+                         batch_format="pyarrow").to_pandas()
+    out = out.set_index("doc_id")
+    for k, t in texts.items():
+        assert int(out.loc[k, "fingerprint"]) == _ref_fingerprint(t), k
