@@ -76,7 +76,8 @@ def _bench_once() -> dict:
     qs = entrymod.queries()
     bench_queries = ["kg_canonical_nquads", "doc_minhash_near_dup",
                      "ann_brute_force_topk", "q1_pricing_summary",
-                     "events_sessions", "doc_exact_dedup"]
+                     "events_sessions", "doc_exact_dedup",
+                     "doc_ngram_jaccard", "doc_embedding_near_dup"]
     for name in bench_queries:
         t0 = time.time()
         res = qs[name](sf_dir)

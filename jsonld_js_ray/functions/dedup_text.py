@@ -145,13 +145,52 @@ def minhash_candidate_pairs(docs_ds, num_perm=64, bands=16, k=5,
             "num_perm": num_perm, "bands": bands, "k": k},
         batch_format="pyarrow", concurrency=pool_share(0.5, cap=12),
         num_cpus=1)
-    if pair_mode == "all":
-        def pair_fn(g):
-            return _bucket_all_pairs(g, cap=bucket_cap)
-    else:
-        pair_fn = _bucket_pairs
-    pairs = (banded.groupby(["band_id", "band_hash"])
-             .map_groups(pair_fn, batch_format="pandas"))
+    # one Ray group per LSH bucket means one python call per distinct
+    # (band_id, band_hash) — tens of thousands at sf0.1 (per-group
+    # overhead dominated the query). Shuffle on a coarse bucket of the
+    # band hash instead and pair ALL contained LSH buckets vectorized.
+    n_coarse = 256
+
+    def add_coarse(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["bb"] = (df["band_hash"].to_numpy() % n_coarse).astype("int32")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def coarse_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        key = ["band_id", "band_hash"]
+        g = g.drop_duplicates(subset=key + ["doc_id"])
+        sizes = g.groupby(key)["doc_id"].transform("size")
+        parts = []
+        if pair_mode == "all":
+            small = g[(sizes > 1) & (sizes <= bucket_cap)]
+            if len(small):
+                m = small.merge(small, on=key, suffixes=("_x", "_y"))
+                m = m[m["doc_id_x"] < m["doc_id_y"]]
+                parts.append(pd.DataFrame(
+                    {"a": m["doc_id_x"].to_numpy(),
+                     "b": m["doc_id_y"].to_numpy()}))
+            rest = g[sizes > bucket_cap]
+        else:
+            rest = g[sizes > 1]
+        if len(rest):
+            rest = rest.copy()
+            rest["min_doc"] = rest.groupby(key)["doc_id"] \
+                .transform("min")
+            star = rest[rest["doc_id"] != rest["min_doc"]]
+            parts.append(pd.DataFrame(
+                {"a": star["min_doc"].to_numpy(),
+                 "b": star["doc_id"].to_numpy()}))
+        if not parts:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        out = pd.concat(parts, ignore_index=True).drop_duplicates()
+        out["a"] = out["a"].astype("int64")
+        out["b"] = out["b"].astype("int64")
+        return out
+
+    pairs = (banded.map_batches(add_coarse, batch_format="pyarrow")
+             .groupby("bb").map_groups(coarse_pairs,
+                                       batch_format="pandas"))
 
     def drop_dup_pairs(b: pa.Table) -> pa.Table:
         df = b.to_pandas().drop_duplicates()
@@ -312,6 +351,34 @@ def simhash_signatures(docs_ds):
                                num_cpus=1)
 
 
+def _bucketed_min(ds, key: str, val: str, rename: str | None = None,
+                  n_buckets: int = 64):
+    """``groupby(key).min(val)`` via a coarse-bucket shuffle plus a
+    vectorized pandas min inside each bucket.
+
+    Ray's ``groupby().aggregate()`` pays per-group Python overhead — at
+    one group per node/pair that dominates wall-clock (measured 282 s
+    for 1.1M pair groups at sf0.1). Bucketing the key space first keeps
+    the shuffle but makes the group count a constant."""
+    out_val = rename or val
+
+    def add_kb(b: pa.Table) -> pa.Table:
+        k = b.column(key).to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "_kb", pa.array(k % np.int64(n_buckets), pa.int64()))
+
+    def min_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(key, as_index=False)[val].min()
+        if rename:
+            out = out.rename(columns={val: rename})
+        out[out_val] = out[out_val].astype("int64")
+        return out
+
+    return (ds.map_batches(add_kb, batch_format="pyarrow")
+            .groupby("_kb").map_groups(min_bucket, batch_format="pandas")
+            .map_batches(lambda t: t, batch_format="pyarrow"))
+
+
 def connected_components(pairs_ds, max_rounds: int = 15,
                          num_buckets: int = 32):
     """Min-label propagation over candidate-pair edges — labels stay a
@@ -331,7 +398,6 @@ def connected_components(pairs_ds, max_rounds: int = 15,
     Labels are monotonically non-increasing, so convergence ==
     Sum(label) unchanged — a single aggregate scalar, never an
     O(nodes) driver dict (that was the round-1 scale killer)."""
-    from ray.data.aggregate import Min
 
     def both_dirs(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
@@ -342,8 +408,9 @@ def connected_components(pairs_ds, max_rounds: int = 15,
     edges = (pairs_ds.map_batches(both_dirs, batch_format="pyarrow")
              .materialize())
 
-    # initial label per node: min(self, min neighbor)
-    labels = edges.groupby("a").aggregate(Min("b", alias_name="label"))
+    # initial label per node: min(self, min neighbor); per-node Ray
+    # aggregate would pay per-group overhead, so bucket + vectorize
+    labels = _bucketed_min(edges, "a", "b", rename="label")
 
     def self_min(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
@@ -401,7 +468,15 @@ def connected_components(pairs_ds, max_rounds: int = 15,
         return out.groupby("a", as_index=False)["label"].min()
 
     prev_sum = None
-    edges_tagged = edges.map_batches(tag_edges, batch_format="pyarrow")
+    # block count sized to the data: at ~10k edges a 32-block layout
+    # means every per-round shuffle schedules dozens of near-empty
+    # tasks and fixed overhead dominates wall-clock; one block per
+    # ~100k rows, floor 2, cap default_concurrency()
+    n_edges = edges.count()
+    nparts = max(2, min(default_concurrency(), n_edges // 100_000 + 2))
+    edges_tagged = (edges.map_batches(tag_edges, batch_format="pyarrow")
+                    .repartition(nparts).materialize())
+    labels = labels.repartition(nparts).materialize()
     for _ in range(max_rounds):
         s = labels.sum("label")
         if prev_sum is not None and s == prev_sum:
@@ -418,13 +493,12 @@ def connected_components(pairs_ds, max_rounds: int = 15,
                 # labels dataset must not mix block types for the next
                 # sort-shuffle
                 .map_batches(lambda t: t, batch_format="pyarrow"))
-        labels = (prop.union(labels).groupby("a")
-                  .aggregate(Min("label", alias_name="label"))
+        labels = (_bucketed_min(prop.union(labels), "a", "label")
                   # union ADDS block counts, so without rebounding them
                   # the per-round sort degrades geometrically (measured:
                   # 3 s -> 13 s -> 132 s per round); repartition is a
                   # cheap metadata-level merge here
-                  .repartition(default_concurrency())
+                  .repartition(nparts)
                   .materialize())
     return labels
 
@@ -467,7 +541,6 @@ def ngram_jaccard_pairs(docs_ds, n: int = 3, threshold: float = 0.5,
     cap/drop guard (which makes the result approximate); this exact
     setting matches the SQL oracle, and groups beyond ``hot_gram_warn``
     docs are logged as hot keys rather than silently truncated."""
-    from ray.data.aggregate import Min, Sum
 
     n_buckets = 256
 
@@ -516,10 +589,26 @@ def ngram_jaccard_pairs(docs_ds, n: int = 3, threshold: float = 0.5,
     grams = docs_ds.map_batches(explode_grams, batch_format="pyarrow")
     pair_rows = grams.groupby("bucket").map_groups(emit_pairs,
                                                   batch_format="pandas")
-    agg = (pair_rows.groupby(["doc_a", "doc_b"])
-           .aggregate(Sum("cnt", alias_name="inter"),
-                      Min("na", alias_name="na"),
-                      Min("nb", alias_name="nb")))
+
+    # final intersection sum: the pair key has millions of tiny groups,
+    # and Ray's groupby().aggregate() pays per-group overhead (measured
+    # 282 s for 1.1M groups at sf0.1) — so shuffle on a coarse pair
+    # bucket instead and aggregate vectorized inside each bucket
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        pb = (df["doc_a"].to_numpy() * 1000003
+              + df["doc_b"].to_numpy()) % n_buckets
+        df["pb"] = pb.astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def sum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["doc_a", "doc_b"], as_index=False)
+               .agg(inter=("cnt", "sum"), na=("na", "min"),
+                    nb=("nb", "min")))
+        return out
+
+    agg = (pair_rows.map_batches(add_pair_bucket, batch_format="pyarrow")
+           .groupby("pb").map_groups(sum_bucket, batch_format="pandas"))
 
     def finish(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
