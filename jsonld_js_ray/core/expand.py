@@ -320,7 +320,11 @@ def _expand_object(active_ctx, active_property, element, result, nests,
         if expanded_property == "@included":
             if active_ctx.processing_mode == "json-ld-1.0":
                 continue
-            inc = expand(active_ctx, None, value, options)
+            # expand with the CURRENT active property (reference
+            # expand.js:666-672) — with activeProperty None a scalar
+            # would be dropped as free-floating instead of failing the
+            # node-object validation below
+            inc = expand(active_ctx, active_property, value, options)
             if not isinstance(inc, list):
                 inc = [inc] if inc is not None else []
             for node in inc:
