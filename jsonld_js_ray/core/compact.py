@@ -418,6 +418,15 @@ def compact(active_ctx: ActiveContext, active_property: Optional[str],
         if is_value(element):
             return rval
 
+    # a list object under a @list-container property compacts to a bare
+    # array, recursively — nested lists become arrays of arrays
+    # (cf. reference compact.js:130-141)
+    if is_list(element):
+        container = td0.get("@container") or []
+        if "@list" in container:
+            return compact(active_ctx, active_property, element["@list"],
+                           options)
+
     inside_reverse = active_property == "@reverse"
     result: dict[str, Any] = {}
     # register in the link memo BEFORE recursing into properties so a
@@ -722,6 +731,15 @@ def _nest_target(active_ctx, item_active_property, result):
 
 
 def add_value_compact(obj: dict, key: str, value, as_array: bool):
+    # array values add element-wise, like the reference's addValue
+    # (util.js:263-274) — so a single-element array collapses to its
+    # element when as_array is False (e.g. a simple @graph container)
+    if isinstance(value, list) and key not in obj:
+        if len(value) == 0 and as_array:
+            obj[key] = []
+        for v in value:
+            add_value_compact(obj, key, v, as_array)
+        return
     if key in obj:
         existing = obj[key]
         if not isinstance(existing, list):
