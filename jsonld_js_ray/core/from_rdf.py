@@ -75,6 +75,15 @@ def from_rdf_quads(quads: list[Quad], options: dict) -> list:
     """Quads → expanded JSON-LD (spec §8.2)."""
     use_rdf_type = options.get("useRdfType", False)
 
+    # upfront rdfDirection validation (cf. reference fromRdf.js:64-75)
+    rdf_direction = options.get("rdfDirection")
+    if rdf_direction and rdf_direction != "i18n-datatype":
+        raise JsonLdError(
+            "Unsupported rdfDirection value."
+            if rdf_direction == "compound-literal"
+            else "Unknown rdfDirection value.",
+            "invalid rdfDirection", {"value": rdf_direction})
+
     graph_map: dict[str, dict] = {"@default": {}}
     referenced_once: dict[str, object] = {}
     nil_usages_by_graph: dict[str, list] = {}

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+from .errors import JsonLdError
 from .context import emit_event
 from .keywords import (
     RDF_FIRST, RDF_JSON_LITERAL, RDF_LANGSTRING, RDF_NIL, RDF_REST, RDF_TYPE,
@@ -163,6 +164,14 @@ def _object_to_rdf(item, options):
     if direction is not None and rdf_direction == "i18n-datatype":
         dt = f"{I18N_NS}{(language or '').lower()}_{direction}"
         return (OBJ_LITERAL, str(value), dt, None)
+    if direction is not None and rdf_direction == "compound-literal":
+        raise JsonLdError("Unsupported rdfDirection value.",
+                          "invalid rdfDirection",
+                          {"value": rdf_direction})
+    if direction is not None and rdf_direction:
+        raise JsonLdError("Unknown rdfDirection value.",
+                          "invalid rdfDirection",
+                          {"value": rdf_direction})
     if language is not None:
         return (OBJ_LITERAL, str(value), datatype or RDF_LANGSTRING,
                 language)
