@@ -134,7 +134,10 @@ def _run_positive(suite_dir, entry, options):
         return api.from_rdf(nq, options)
     if "rdfc:RDFC10EvalTest" in types:
         quads = parse_nquads(_read_text(suite_dir, inp))
-        return canonize_nquads(quads)
+        opt = entry.get("option") or {}
+        return canonize_nquads(
+            quads,
+            max_deep_iterations=opt.get("maxDeepIterations", 2000))
     if "rdfc:RDFC10MapTest" in types:
         quads = parse_nquads(_read_text(suite_dir, inp))
         return canonical_id_map(quads)
