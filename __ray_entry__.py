@@ -375,6 +375,22 @@ def _part_brand_stats(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def _q3_shipping(sf_dir: str):
+    import ray
+    from jsonld_js_ray.functions.relational import q3_shipping_priority
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"])
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+    return q3_shipping_priority(cust, orders, li)
+
+
 def _events_hourly(sf_dir: str):
     import ray
     from jsonld_js_ray.functions.relational import events_tumbling_window
@@ -456,6 +472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": _q1,
         "nation_revenue": _nation_revenue,
         "top_orders": _top_orders,
+        "q3_shipping_priority": _q3_shipping,
         "events_hourly": _events_hourly,
         "events_type_agg": _events_type_agg,
         "doc_length_by_lang": _doc_length_by_lang,
@@ -593,6 +610,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(p_size) AS BIGINT) AS min_size,
                    CAST(max(p_size) AS BIGINT) AS max_size
             FROM part GROUP BY p_brand
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   CAST(epoch(o_orderdate) AS BIGINT) AS o_epoch,
+                   o_orderpriority
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC,
+                     o_epoch, l_orderkey
+            LIMIT 10
         """,
         "events_hourly": """
             SELECT user_id,

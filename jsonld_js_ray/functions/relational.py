@@ -158,3 +158,163 @@ def events_sessionize(events_ds, gap_s: int = 1800):
 
     return events_ds.groupby("user_id").map_groups(
         per_user, batch_format="pandas")
+
+
+def hash_join(left_ds, right_ds, key: str, n_buckets: int = 64,
+              how: str = "inner"):
+    """Generic large×large distributed hash join on ``key``.
+
+    Neither side is materialized on the driver: both are tagged, unioned,
+    and shuffled once on ``hash(key) % n_buckets``; inside each bucket a
+    vectorized pandas merge joins all contained key groups at once (the
+    coarse-bucket pattern — one Python call per bucket, not per key).
+    Column overlap besides ``key`` is suffixed pandas-style (_x/_y).
+
+    At 100 TB this is the fallback when neither side fits a broadcast
+    (cf. customer_nation_revenue for the broadcast-small-side shape);
+    skewed keys split across blocks within a bucket still co-locate,
+    and n_buckets should scale with cluster size."""
+    lschema, rschema = left_ds.schema(), right_ds.schema()
+    left_cols = set(lschema.names)
+    right_cols = set(rschema.names)
+    overlap = (left_cols & right_cols) - {key}
+
+    def _pd_dtypes(schema):
+        out = {}
+        for name, typ in zip(schema.names, schema.types):
+            try:
+                out[name] = typ.to_pandas_dtype()
+            except NotImplementedError:
+                pass
+        return out
+
+    # the union of two differently-shaped sides null-fills the other
+    # side's columns, silently promoting ints to float64 — restore each
+    # side's original dtypes after splitting the bucket
+    ldtypes, rdtypes = _pd_dtypes(lschema), _pd_dtypes(rschema)
+
+    def tag(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            df = b.to_pandas()
+            df["_side"] = np.int8(side)
+            k = df[key].to_numpy()
+            df["_jb"] = (pd.util.hash_array(k) % n_buckets).astype("int64")
+            return pa.Table.from_pandas(df, preserve_index=False)
+        return fn
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        le = g.loc[g["_side"] == 0,
+                   [c for c in g.columns if c in left_cols]]
+        ri = g.loc[g["_side"] == 1,
+                   [c for c in g.columns if c in right_cols]]
+        le = le.astype({c: d for c, d in ldtypes.items()
+                        if c in le.columns})
+        ri = ri.astype({c: d for c, d in rdtypes.items()
+                        if c in ri.columns})
+        return le.merge(ri, on=key, how=how, suffixes=("_x", "_y"))
+
+    tagged = left_ds.map_batches(tag(0), batch_format="pyarrow").union(
+        right_ds.map_batches(tag(1), batch_format="pyarrow"))
+    out = tagged.groupby("_jb").map_groups(join_bucket,
+                                           batch_format="pandas")
+    if overlap:
+        return out
+    return out.map_batches(lambda t: t, batch_format="pyarrow")
+
+
+def q3_shipping_priority(customer_ds, orders_ds, lineitem_ds,
+                         segment: str = "BUILDING",
+                         cutoff: str = "1998-06-01", k: int = 10):
+    """TPC-H Q3 shape: σ(customer) ⋈ σ(orders) ⋈ σ(lineitem) → groupby
+    orderkey sum(revenue) → global top-k.
+
+    Join strategy by size: the filtered customer side is broadcast
+    (ray.put key set, ~1/5 of a dimension table); orders×lineitem is the
+    large×large side and uses the bucketed hash_join. Revenue is
+    pre-aggregated per orderkey inside lineitem batches BEFORE the join
+    shuffle (map-side combine), and top-k runs as per-block partial
+    top-k → single final merge."""
+    import ray
+
+    cut = np.datetime64(cutoff)
+
+    cust = customer_ds.map_batches(
+        lambda b: b.filter(
+            __import__("pyarrow").compute.equal(b.column("c_mktsegment"),
+                                                segment)),
+        batch_format="pyarrow").select_columns(["c_custkey"])
+    # broadcast the filtered key set once
+    keys = set()
+    for b in cust.iter_batches(batch_format="pyarrow", batch_size=65536):
+        keys.update(b.column("c_custkey").to_pylist())
+    keys_ref = ray.put(keys)
+
+    class FilterOrders:
+        def __init__(self, keys_ref):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            df = b.to_pandas()
+            m = (df["o_orderdate"].to_numpy() < cut) \
+                & df["o_custkey"].isin(self.keys).to_numpy()
+            out = df.loc[m, ["o_orderkey", "o_orderdate",
+                             "o_orderpriority"]].copy()
+            # unit-safe epoch seconds (parquet timestamps arrive as
+            # datetime64[us] in pandas 2.x, not [ns])
+            out["o_epoch"] = (out["o_orderdate"]
+                              .astype("datetime64[s]")
+                              .astype("int64"))
+            return pa.Table.from_pandas(
+                out[["o_orderkey", "o_epoch", "o_orderpriority"]],
+                preserve_index=False)
+
+    orders = orders_ds.map_batches(
+        FilterOrders, fn_constructor_kwargs={"keys_ref": keys_ref},
+        batch_format="pyarrow", concurrency=2, num_cpus=1)
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        m = df["l_shipdate"].to_numpy() > cut
+        df = df.loc[m, ["l_orderkey", "l_extendedprice", "l_discount"]]
+        df["rev"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        g = (df.groupby("l_orderkey", as_index=False)["rev"].sum()
+             .rename(columns={"l_orderkey": "o_orderkey"}))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li = lineitem_ds.map_batches(li_partial, batch_format="pyarrow")
+
+    joined = hash_join(orders, li, "o_orderkey")
+
+    # global per-orderkey revenue sum + partial top-k, bucketed on the
+    # orderkey so every partial of a key lands in ONE group (a per-block
+    # partial top-k would be wrong if a key's rows span blocks)
+    def add_kb(b: pa.Table) -> pa.Table:
+        kcol = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "_kb", pa.array(kcol % np.int64(64), pa.int64()))
+
+    def sum_topk_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g.groupby(["o_orderkey", "o_epoch", "o_orderpriority"],
+                       as_index=False)["rev"].sum())
+        return s.sort_values(["rev", "o_epoch", "o_orderkey"],
+                             ascending=[False, True, True]).head(k)
+
+    part = (joined.map_batches(add_kb, batch_format="pyarrow")
+            .groupby("_kb").map_groups(sum_topk_bucket,
+                                       batch_format="pandas"))
+
+    def topk_final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["rev", "o_epoch", "o_orderkey"],
+                          ascending=[False, True, True]).head(k)
+        out = g.rename(columns={"rev": "revenue"})
+        out["revenue"] = out["revenue"].round(2)
+        out["l_orderkey"] = out["o_orderkey"].astype("int64")
+        return out[["l_orderkey", "revenue", "o_epoch",
+                    "o_orderpriority"]].reset_index(drop=True)
+
+    def one_group(b: pa.Table) -> pa.Table:
+        return b.append_column("_g", pa.array([0] * b.num_rows,
+                                              pa.int8()))
+
+    return (part.map_batches(one_group, batch_format="pyarrow")
+            .groupby("_g").map_groups(topk_final, batch_format="pandas"))

@@ -215,3 +215,23 @@ def test_fingerprint_matches_python_reference(ray_session):
     out = out.set_index("doc_id")
     for k, t in texts.items():
         assert int(out.loc[k, "fingerprint"]) == _ref_fingerprint(t), k
+
+
+def test_hash_join_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+    from jsonld_js_ray.functions.relational import hash_join
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame({"k": rng.integers(0, 50, 300),
+                         "lv": np.arange(300, dtype="int64")})
+    right = pd.DataFrame({"k": rng.integers(0, 50, 200),
+                          "rv": np.arange(200, dtype="int64") * 10})
+    out = hash_join(ray.data.from_pandas(left),
+                    ray.data.from_pandas(right), "k").to_pandas()
+    expect = left.merge(right, on="k")
+    key = ["k", "lv", "rv"]
+    got = out[key].sort_values(key).reset_index(drop=True)
+    want = expect[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert got.dtypes.to_dict() == want.dtypes.to_dict()
