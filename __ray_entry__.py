@@ -391,6 +391,20 @@ def _q3_shipping(sf_dir: str):
     return q3_shipping_priority(cust, orders, li)
 
 
+def _region_revenue(sf_dir: str):
+    import ray
+    from jsonld_js_ray.functions.relational import region_revenue
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    return region_revenue(_read_pdf(sf_dir, "region"),
+                          _read_pdf(sf_dir, "nation"),
+                          _read_pdf(sf_dir, "customer"),
+                          orders, li)
+
+
 def _events_hourly(sf_dir: str):
     import ray
     from jsonld_js_ray.functions.relational import events_tumbling_window
@@ -473,6 +487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue": _nation_revenue,
         "top_orders": _top_orders,
         "q3_shipping_priority": _q3_shipping,
+        "region_revenue": _region_revenue,
         "events_hourly": _events_hourly,
         "events_type_agg": _events_type_agg,
         "doc_length_by_lang": _doc_length_by_lang,
@@ -627,6 +642,18 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC,
                      o_epoch, l_orderkey
             LIMIT 10
+        """,
+        "region_revenue": """
+            SELECT r_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   count(*) AS n_items
+            FROM region, nation, customer, orders, lineitem
+            WHERE r_regionkey = n_regionkey
+              AND n_nationkey = c_nationkey
+              AND c_custkey = o_custkey
+              AND o_orderkey = l_orderkey
+            GROUP BY r_name
         """,
         "events_hourly": """
             SELECT user_id,

@@ -134,18 +134,31 @@ def events_tumbling_window(events_ds, window_s: int = 3600):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
-def events_sessionize(events_ds, gap_s: int = 1800):
-    """Gap-based sessionization: groupby(user) shuffle co-locates each
-    user's events; per-group pandas does the ts-sorted gap logic.
-    Assumes one user's events fit one group (true for any realistic
-    per-user event volume; hot users would be range-split by day)."""
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
+def events_sessionize(events_ds, gap_s: int = 1800,
+                      n_buckets: int = 64):
+    """Gap-based sessionization.
+
+    The shuffle key is a coarse bucket of user_id (one Python call per
+    BUCKET, not per user — per-user map_groups pays Ray's per-group
+    overhead); inside a bucket ALL users sessionize vectorized: one sort
+    by (user, ts), per-user gap detection via groupby-shift, cumsum
+    session ids, one groupby-agg. Assumes one user's events fit one
+    bucket alongside its peers (true for any realistic per-user volume;
+    hot users would be range-split by day)."""
+    def add_bucket(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "_ub", pa.array(u % np.int64(n_buckets), pa.int64()))
+
+    def bucket_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
         epoch = g["ts"].astype("int64") // 1_000_000
-        new_session = (epoch.diff().fillna(gap_s + 1) > gap_s)
-        session_idx = new_session.cumsum()
-        out = (g.assign(session_idx=session_idx, epoch=epoch)
-               .groupby("session_idx")
+        prev = epoch.groupby(g["user_id"]).shift()
+        new_session = (epoch - prev).fillna(gap_s + 1) > gap_s
+        session_idx = new_session.cumsum()  # global across bucket: ok,
+        # a new user always starts a new session id
+        out = (g.assign(_sid=session_idx, epoch=epoch)
+               .groupby("_sid")
                .agg(user_id=("user_id", "first"),
                     session_start=("epoch", "min"),
                     session_end=("epoch", "max"),
@@ -156,8 +169,9 @@ def events_sessionize(events_ds, gap_s: int = 1800):
         out["sum_value"] = out["sum_value"].round(6)
         return out
 
-    return events_ds.groupby("user_id").map_groups(
-        per_user, batch_format="pandas")
+    return (events_ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("_ub").map_groups(bucket_sessions,
+                                       batch_format="pandas"))
 
 
 def hash_join(left_ds, right_ds, key: str, n_buckets: int = 64,
@@ -318,3 +332,72 @@ def q3_shipping_priority(customer_ds, orders_ds, lineitem_ds,
 
     return (part.map_batches(one_group, batch_format="pyarrow")
             .groupby("_g").map_groups(topk_final, batch_format="pandas"))
+
+
+def region_revenue(region_df, nation_df, customer_df, orders_ds,
+                   lineitem_ds):
+    """Q5-shape revenue per region over the full 5-table chain.
+
+    The dimension chain region→nation→customer is tiny: folded into ONE
+    broadcast dict custkey→region_name (ray.put once, read per actor).
+    orders picks up the region via that dict (map-side, no shuffle);
+    lineitem revenue is pre-combined per orderkey per batch; the only
+    shuffle joins orders×lineitem on orderkey via hash_join, and the
+    final per-region rollup is a 5-group aggregate."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    n2r = dict(zip(nation_df["n_nationkey"],
+                   nation_df["n_regionkey"].map(
+                       dict(zip(region_df["r_regionkey"],
+                                region_df["r_name"])))))
+    cust2region = dict(zip(customer_df["c_custkey"],
+                           customer_df["c_nationkey"].map(n2r)))
+    ref = ray.put(cust2region)
+
+    class TagOrders:
+        def __init__(self, ref):
+            self.c2r = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            df = b.to_pandas()
+            df["r_name"] = df["o_custkey"].map(self.c2r)
+            return pa.Table.from_pandas(
+                df[["o_orderkey", "r_name"]], preserve_index=False)
+
+    orders = orders_ds.map_batches(
+        TagOrders, fn_constructor_kwargs={"ref": ref},
+        batch_format="pyarrow", concurrency=2, num_cpus=1)
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["rev"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        g = (df.groupby("l_orderkey", as_index=False)
+             .agg(rev=("rev", "sum"), n_items=("rev", "size"))
+             .rename(columns={"l_orderkey": "o_orderkey"}))
+        g["n_items"] = g["n_items"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li = lineitem_ds.map_batches(li_partial, batch_format="pyarrow")
+    joined = hash_join(orders, li, "o_orderkey")
+
+    def region_partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        g = (df.groupby("r_name", as_index=False)
+             .agg(rev=("rev", "sum"), n_items=("n_items", "sum")))
+        g["n_items"] = g["n_items"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (joined.map_batches(region_partial, batch_format="pyarrow")
+           .groupby("r_name")
+           .aggregate(Sum("rev", alias_name="rev"),
+                      Sum("n_items", alias_name="n_items")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["revenue"] = df["rev"].round(2)
+        df["n_items"] = df["n_items"].astype("int64")
+        return pa.Table.from_pandas(
+            df[["r_name", "revenue", "n_items"]], preserve_index=False)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
