@@ -90,7 +90,9 @@ def _options_for(suite_dir, entry):
                                               opt["expandContext"])
     for key in ("rdfDirection", "useNativeTypes", "useRdfType",
                 "produceGeneralizedRdf", "compactArrays",
-                "compactToRelative", "omitGraph", "processingMode"):
+                "compactToRelative", "omitGraph", "processingMode",
+                "omitDefault", "requireAll", "explicit", "embed",
+                "pruneBlankNodeIdentifiers", "maxDeepIterations"):
         if key in opt:
             options[key] = opt[key]
     return options
