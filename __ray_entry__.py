@@ -414,6 +414,15 @@ def _events_hourly(sf_dir: str):
     return events_tumbling_window(ev, window_s=3600)
 
 
+def _events_sliding(sf_dir: str):
+    import ray
+    from jsonld_js_ray.functions.relational import events_sliding_window
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id",
+                                        "value"])
+    return events_sliding_window(ev, window_s=3600)
+
+
 def _events_sessions(sf_dir: str):
     import ray
     from jsonld_js_ray.functions.relational import events_sessionize
@@ -489,6 +498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_priority": _q3_shipping,
         "region_revenue": _region_revenue,
         "events_hourly": _events_hourly,
+        "events_sliding_window": _events_sliding,
         "events_type_agg": _events_type_agg,
         "doc_length_by_lang": _doc_length_by_lang,
         "part_brand_stats": _part_brand_stats,
@@ -662,6 +672,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_sliding_window": """
+            WITH e AS (SELECT user_id, event_id, value,
+                              CAST(floor(epoch(ts)) AS BIGINT) AS ep
+                       FROM events)
+            SELECT user_id, event_id, ep,
+                   round(sum(value) OVER w, 6) AS sliding_sum,
+                   CAST(count(*) OVER w AS BIGINT) AS n_window
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ep
+                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         """,
         "events_sessions": """
             WITH e AS (

@@ -401,3 +401,47 @@ def region_revenue(region_df, nation_df, customer_df, orders_ds,
             df[["r_name", "revenue", "n_items"]], preserve_index=False)
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def events_sliding_window(events_ds, window_s: int = 3600,
+                          n_buckets: int = 64):
+    """Per-event sliding-window aggregate: for every event, the sum and
+    count of the same user's events in [ts - window_s, ts] (SQL RANGE
+    BETWEEN window_s PRECEDING AND CURRENT ROW semantics, ties included).
+
+    One coarse user-bucket shuffle; inside a bucket every user is
+    processed in a single vectorized pass: rows sort by (user, epoch),
+    a composite key (user_idx * span + epoch) makes one prefix-sum +
+    two np.searchsorted calls compute every window bound at once —
+    cross-user keys differ by more than the window so frames never leak
+    across users."""
+    def add_bucket(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "_ub", pa.array(u % np.int64(n_buckets), pa.int64()))
+
+    def bucket_windows(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        ep = (g["ts"].astype("datetime64[s]").astype("int64")).to_numpy()
+        user = g["user_id"].to_numpy()
+        vals = g["value"].to_numpy(dtype="float64")
+        # composite key: per-user epoch offsets separated by > window
+        base = ep - ep.min()
+        span = np.int64(base.max() + window_s + 2) if len(base) else 1
+        _, user_idx = np.unique(user, return_inverse=True)
+        key = user_idx.astype("int64") * span + base
+        lo = np.searchsorted(key, key - window_s, side="left")
+        hi = np.searchsorted(key, key, side="right")
+        csum = np.concatenate([[0.0], np.cumsum(vals)])
+        out = pd.DataFrame({
+            "user_id": user,
+            "event_id": g["event_id"].to_numpy(),
+            "ep": ep,
+            "sliding_sum": np.round(csum[hi] - csum[lo], 6),
+            "n_window": (hi - lo).astype("int64"),
+        })
+        return out
+
+    return (events_ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("_ub").map_groups(bucket_windows,
+                                       batch_format="pandas"))
