@@ -456,6 +456,16 @@ def _media_frames(sf_dir: str):
     return sample_frames(media)
 
 
+def _media_audio_chunks(sf_dir: str):
+    import ray
+    from jsonld_js_ray.functions.multimodal import (
+        chunk_audio, synthesize_media_table)
+    from jsonld_js_ray.sources.repo_files import sf_from_dir
+    n = max(50, int(sf_from_dir(sf_dir) * 20_000))
+    media = ray.data.from_arrow(synthesize_media_table(n))
+    return chunk_audio(media)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: repo files →
     extract → expand+toRDF (actor pool) → dedup → quad Dataset."""
@@ -506,6 +516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "media_decode_features": _media_decode,
         "media_frame_sample": _media_frames,
+        "media_audio_chunks": _media_audio_chunks,
     }
 
 

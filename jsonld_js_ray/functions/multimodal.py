@@ -126,3 +126,47 @@ def sample_frames(media_ds, every_ms: int = 1000, batch_size: int = 32):
         FrameSampler, fn_constructor_kwargs={"every_ms": every_ms},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=default_concurrency(4), num_cpus=1)
+
+
+class AudioChunker:
+    """Audio chunking plumbing (stub kernel, real layout): splits each
+    audio row into fixed-duration chunk rows with proportional byte
+    ranges — the 1→N explode + byte-slicing shape a real resampler
+    (ffmpeg/soundfile, not in this container) would have. Chunk payload
+    slices stay zero-copy Arrow binary."""
+
+    def __init__(self, chunk_ms: int = 5000):
+        self.chunk_ms = chunk_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, starts, payloads = [], [], [], []
+        for mid, kind, dur, payload in zip(
+                batch.column("media_id").to_pylist(),
+                batch.column("kind").to_pylist(),
+                batch.column("duration_ms").to_pylist(),
+                batch.column("payload").to_pylist()):
+            if kind != "audio":
+                continue
+            dur = max(1, dur)
+            n_chunks = (dur + self.chunk_ms - 1) // self.chunk_ms
+            n_bytes = len(payload)
+            for i in range(n_chunks):
+                lo = i * n_bytes // n_chunks
+                hi = (i + 1) * n_bytes // n_chunks
+                ids.append(mid)
+                idxs.append(i)
+                starts.append(i * self.chunk_ms)
+                payloads.append(payload[lo:hi])
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "chunk_idx": pa.array(idxs, pa.int32()),
+            "start_ms": pa.array(starts, pa.int32()),
+            "chunk": pa.array(payloads, pa.large_binary()),
+        })
+
+
+def chunk_audio(media_ds, chunk_ms: int = 5000, batch_size: int = 32):
+    return media_ds.map_batches(
+        AudioChunker, fn_constructor_kwargs={"chunk_ms": chunk_ms},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=default_concurrency(4), num_cpus=1)

@@ -216,3 +216,25 @@ def test_unhandled_event_handler_raises():
                     "@graph": ["scalar", {"@id": "http://e/a", "p": "v"}]},
                    {"eventHandler": api.unhandled_event_handler})
     assert ei.value.code == "invalid event handler"
+
+
+def test_audio_chunker_plumbing(ray_session):
+    import ray
+    from jsonld_js_ray.functions.multimodal import (
+        AudioChunker, chunk_audio, synthesize_media_table)
+    tbl = synthesize_media_table(60, seed=9)
+    out = chunk_audio(ray.data.from_arrow(tbl), chunk_ms=5000).to_pandas()
+    src = tbl.to_pandas()
+    audio = src[src["kind"] == "audio"]
+    assert set(out["media_id"]) == set(audio["media_id"])
+    for mid, grp in out.groupby("media_id"):
+        row = audio[audio["media_id"] == mid].iloc[0]
+        dur = max(1, int(row["duration_ms"]))
+        expect_chunks = (dur + 4999) // 5000
+        assert len(grp) == expect_chunks
+        # chunks are ordered, contiguous, and reassemble to the payload
+        grp = grp.sort_values("chunk_idx")
+        assert list(grp["chunk_idx"]) == list(range(expect_chunks))
+        assert list(grp["start_ms"]) == [i * 5000
+                                         for i in range(expect_chunks)]
+        assert b"".join(grp["chunk"]) == row["payload"]
