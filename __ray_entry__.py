@@ -198,6 +198,11 @@ def _doc_simhash(sf_dir: str):
     return simhash_signatures(_docs(sf_dir))
 
 
+def _doc_simhash_near_dup(sf_dir: str):
+    from jsonld_js_ray.functions.dedup_text import simhash_near_dup
+    return simhash_near_dup(_docs(sf_dir), max_hamming=8)
+
+
 def _doc_near_dup_components(sf_dir: str):
     from jsonld_js_ray.functions.dedup_text import (
         connected_components, minhash_candidate_pairs)
@@ -490,6 +495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_exact_dedup": _doc_exact_dedup,
         "doc_minhash_near_dup": _doc_minhash_near_dup,
         "doc_simhash": _doc_simhash,
+        "doc_simhash_near_dup": _doc_simhash_near_dup,
         "doc_near_dup_components": _doc_near_dup_components,
         "doc_ngram_jaccard": _doc_ngram_jaccard,
         "doc_embedding_near_dup": _doc_embedding_near_dup,

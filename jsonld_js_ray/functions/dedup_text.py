@@ -19,6 +19,8 @@ import pyarrow as pa
 from ..util_ray import default_concurrency, pool_share
 
 _MERSENNE = (1 << 61) - 1
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)],
+                      dtype=np.uint8)
 
 
 def md5_batch(batch: pa.Table) -> pa.Table:
@@ -625,3 +627,83 @@ def ngram_jaccard_pairs(docs_ds, n: int = 3, threshold: float = 0.5,
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def simhash_near_dup(docs_ds, max_hamming: int = 3, n_bands: int = 4):
+    """SimHash near-duplicate pairs: signatures → bit-band LSH →
+    exact Hamming verify.
+
+    The 64-bit simhash splits into ``n_bands`` 16-bit bands; two docs
+    within Hamming distance < n_bands must agree exactly on at least one
+    band (pigeonhole), so banding finds every pair with distance <
+    n_bands and most pairs up to ``max_hamming``. One shuffle groups by
+    (band_id, band_value) via a coarse bucket; within-bucket pairing and
+    the popcount verify are vectorized (XOR + bit_count), no per-pair
+    Python. Returns (doc_a, doc_b, hamming)."""
+    from .dedup_text import simhash_signatures  # self-import safe
+
+    sigs = simhash_signatures(docs_ds)
+    band_bits = 64 // n_bands
+    mask = np.uint64((1 << band_bits) - 1)
+    n_coarse = 256
+
+    def explode_bands(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        sim = df["simhash"].to_numpy().astype(np.uint64)
+        doc = df["doc_id"].to_numpy()
+        ids, bands, vals = [], [], []
+        for band in range(n_bands):
+            v = (sim >> np.uint64(band * band_bits)) & mask
+            ids.append(doc)
+            bands.append(np.full(len(doc), band, dtype=np.int64))
+            vals.append(v.astype(np.int64))
+        out = pa.table({
+            "doc_id": pa.array(np.concatenate(ids), pa.int64()),
+            "band_id": pa.array(np.concatenate(bands), pa.int64()),
+            "band_val": pa.array(np.concatenate(vals), pa.int64()),
+            "simhash": pa.array(np.tile(sim.astype(np.int64), n_bands),
+                                pa.int64()),
+        })
+        bb = (out.column("band_val").to_numpy() * n_bands
+              + out.column("band_id").to_numpy()) % n_coarse
+        return out.append_column("_bb", pa.array(bb, pa.int64()))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        key = ["band_id", "band_val"]
+        g = g.drop_duplicates(subset=key + ["doc_id"])
+        sizes = g.groupby(key)["doc_id"].transform("size")
+        g = g[sizes > 1]
+        if g.empty:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        m = g.merge(g, on=key, suffixes=("_x", "_y"))
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        x = (m["simhash_x"].to_numpy().astype(np.uint64)
+             ^ m["simhash_y"].to_numpy().astype(np.uint64))
+        # vectorized popcount via byte LUT (numpy<2 has no bitwise_count)
+        ham = _POPCOUNT8[x.view(np.uint8).reshape(-1, 8)] \
+            .sum(axis=1).astype("int64")
+        out = pd.DataFrame({"doc_a": m["doc_id_x"].to_numpy(),
+                            "doc_b": m["doc_id_y"].to_numpy(),
+                            "hamming": ham})
+        out = out[out["hamming"] <= max_hamming].drop_duplicates(
+            subset=["doc_a", "doc_b"])
+        return out
+
+    pairs = (sigs.map_batches(explode_bands, batch_format="pyarrow")
+             .groupby("_bb").map_groups(bucket_pairs,
+                                        batch_format="pandas"))
+
+    # cross-bucket dedup: the same pair can emerge from several bands
+    def add_pb(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["_pb"] = ((df["doc_a"] * 1000003 + df["doc_b"]) % 64) \
+            .astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (pairs.map_batches(add_pb, batch_format="pyarrow")
+            .groupby("_pb").map_groups(
+                lambda g: g.drop_duplicates(subset=["doc_a", "doc_b"])
+                [["doc_a", "doc_b", "hamming"]],
+                batch_format="pandas"))

@@ -235,3 +235,27 @@ def test_hash_join_matches_pandas(ray_session):
     want = expect[key].sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
     assert got.dtypes.to_dict() == want.dtypes.to_dict()
+
+
+def test_simhash_near_dup(ray_session):
+    import ray
+    from jsonld_js_ray.functions.dedup_text import simhash_near_dup
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight") * 3
+    texts = {
+        1: base,
+        2: base.replace("green", "blue"),     # near-dup of 1
+        3: "completely different content with other words entirely",
+        4: base,                               # identical to 1
+    }
+    ds = ray.data.from_items(
+        [{"doc_id": k, "text": v} for k, v in texts.items()])
+    out = simhash_near_dup(ds, max_hamming=6).to_pandas()
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in out.itertuples()}
+    assert pairs.get((1, 4)) == 0
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6
+    assert pairs[(1, 2)] == pairs[(2, 4)]
+    assert not any(3 in p for p in pairs)
+    # cross-check hamming against the scalar python reference
+    h1, h2 = _ref_simhash(texts[1]), _ref_simhash(texts[2])
+    assert pairs[(1, 2)] == bin(h1 ^ h2).count("1")
