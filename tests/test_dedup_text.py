@@ -259,3 +259,51 @@ def test_simhash_near_dup(ray_session):
     # cross-check hamming against the scalar python reference
     h1, h2 = _ref_simhash(texts[1]), _ref_simhash(texts[2])
     assert pairs[(1, 2)] == bin(h1 ^ h2).count("1")
+
+
+def test_new_ops_partition_invariant(ray_session):
+    """Same results at any block partitioning (determinism claim)."""
+    import ray
+    from jsonld_js_ray.functions.dedup_text import ngram_jaccard_pairs
+    from jsonld_js_ray.functions.relational import (
+        events_sliding_window, hash_join)
+    import pandas as pd
+    import numpy as np
+
+    texts = [{"doc_id": i,
+              "text": f"alpha beta gamma delta epsilon zeta {i % 7} "
+                      f"eta theta iota kappa"} for i in range(60)]
+
+    def norm(df, cols):
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    outs = []
+    for parts in (1, 7):
+        ds = ray.data.from_items(texts).repartition(parts)
+        outs.append(norm(ngram_jaccard_pairs(ds, threshold=0.3)
+                         .to_pandas(), ["doc_a", "doc_b", "jaccard"]))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    rng = np.random.default_rng(8)
+    ev = [{"event_id": i, "user_id": int(rng.integers(0, 9)),
+           "ts": pd.Timestamp("2024-01-01")
+           + pd.Timedelta(seconds=int(rng.integers(0, 20000))),
+           "value": float(rng.normal())} for i in range(500)]
+    outs = []
+    for parts in (1, 5):
+        ds = ray.data.from_items(ev).repartition(parts)
+        outs.append(norm(events_sliding_window(ds).to_pandas(),
+                         ["event_id", "sliding_sum", "n_window"]))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    left = pd.DataFrame({"k": np.arange(100) % 11,
+                         "lv": np.arange(100, dtype="int64")})
+    right = pd.DataFrame({"k": np.arange(40) % 11,
+                          "rv": np.arange(40, dtype="int64")})
+    outs = []
+    for parts in (1, 6):
+        out = hash_join(ray.data.from_pandas(left).repartition(parts),
+                        ray.data.from_pandas(right).repartition(parts),
+                        "k").to_pandas()
+        outs.append(norm(out, ["k", "lv", "rv"]))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
