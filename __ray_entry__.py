@@ -257,6 +257,16 @@ def _ann_lsh(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "cosine", "rank"])
 
 
+def _ann_ivf(sf_dir: str):
+    import ray
+    from jsonld_js_ray.functions.ann import ivf_topk
+    ids, vecs = _ann_queries(sf_dir)
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    out = ivf_topk(emb, ids, vecs, k=_K_ANN)
+    return out.select_columns(["query_id", "vec_id", "cosine", "rank"])
+
+
 # ---------------------------------------------------------------------------
 # relational / stream-shaped
 # ---------------------------------------------------------------------------
@@ -507,6 +517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_brute_force_topk": _ann_brute_force,
         "ann_lsh_topk": _ann_lsh,
+        "ann_ivf_topk": _ann_ivf,
         # relational / windowed
         "q1_pricing_summary": _q1,
         "nation_revenue": _nation_revenue,

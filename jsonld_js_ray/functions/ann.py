@@ -212,3 +212,101 @@ def embedding_cosine_pairs(embeddings_ds, threshold: float = 0.35):
         fn_constructor_kwargs={"matrix_ref": ref, "threshold": threshold},
         batch_format="pyarrow", concurrency=default_concurrency(8),
         num_cpus=1)
+
+
+def _kmeans(sample: np.ndarray, n_centroids: int, seed: int = 13,
+            iters: int = 8) -> np.ndarray:
+    """Deterministic mini k-means on a driver-side sample (coarse
+    quantizer training only — the corpus itself is never materialized)."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    cents = sample[rng.choice(n, size=min(n_centroids, n),
+                              replace=False)].copy()
+    for _ in range(iters):
+        d = sample @ cents.T
+        assign = np.argmax(d, axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cents[c] = v / nv
+    return cents
+
+
+class IvfTopK:
+    """Actor-pool stage: per batch, score rows against ONLY the queries
+    that probe the row's centroid list (inverted-file restriction) —
+    compute scales with the probed fraction, not the full corpus."""
+
+    def __init__(self, side_ref, k: int = 10):
+        import ray
+        side = ray.get(side_ref)
+        self.query_ids = side["ids"]            # (q,)
+        self.Q = side["Q"]                      # (q, d) normalized
+        self.cents = side["cents"]              # (c, d) normalized
+        self.probes = side["probes"]            # (q, n_probe) centroid ids
+        self.k = k
+        # centroid -> list of query indices probing it
+        self.by_cent: dict[int, np.ndarray] = {}
+        for qi, ps in enumerate(self.probes):
+            for c in ps:
+                self.by_cent.setdefault(int(c), []).append(qi)
+        self.by_cent = {c: np.asarray(v, dtype=np.int64)
+                        for c, v in self.by_cent.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        M = _normalize(_matrix(df))
+        vec_ids = df["vec_id"].to_numpy(dtype=np.int64)
+        cids = np.argmax(M @ self.cents.T, axis=1)
+        out_q, out_v, out_s = [], [], []
+        for c, q_idx in self.by_cent.items():
+            rows = np.nonzero(cids == c)[0]
+            if not len(rows):
+                continue
+            sims = M[rows] @ self.Q[q_idx].T    # (rows_c, probing queries)
+            k = min(self.k, len(rows))
+            for j, qi in enumerate(q_idx):
+                col = sims[:, j]
+                idx = np.argpartition(-col, k - 1)[:k]
+                out_q.append(np.full(k, self.query_ids[qi],
+                                     dtype=np.int64))
+                out_v.append(vec_ids[rows[idx]])
+                out_s.append(col[idx])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+            "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+
+def ivf_topk(embeddings_ds, query_ids, query_vectors, k: int = 10,
+             n_centroids: int = 16, n_probe: int = 4, seed: int = 13,
+             train_sample: int = 2048):
+    """IVF ANN: train a coarse quantizer on a bounded sample, assign
+    rows to inverted lists on the fly, and score each query only inside
+    its ``n_probe`` nearest lists. Recall < 1 by design; the brute-force
+    path is the exact baseline (see ann_brute_force_topk)."""
+    import ray
+    sample_rows = embeddings_ds.limit(train_sample) \
+        .select_columns(["embedding"]).take_all()
+    sample = _normalize(np.asarray(
+        [np.asarray(r["embedding"], dtype=np.float64)
+         for r in sample_rows]))
+    cents = _kmeans(sample, n_centroids, seed)
+    Q = _normalize(np.asarray(query_vectors, dtype=np.float64))
+    probes = np.argsort(-(Q @ cents.T), axis=1)[:, :n_probe]
+    ref = ray.put({"ids": np.asarray(query_ids, dtype=np.int64),
+                   "Q": Q, "cents": cents, "probes": probes})
+    cands = embeddings_ds.map_batches(
+        IvfTopK, fn_constructor_kwargs={"side_ref": ref, "k": k},
+        batch_format="pyarrow", concurrency=default_concurrency(8),
+        num_cpus=1)
+    return cands.groupby("query_id").map_groups(_topk_group(k),
+                                                batch_format="pandas")

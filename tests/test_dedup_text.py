@@ -307,3 +307,36 @@ def test_new_ops_partition_invariant(ray_session):
                         "k").to_pandas()
         outs.append(norm(out, ["k", "lv", "rv"]))
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_ivf_topk_recall(ray_session):
+    import numpy as np
+    import ray
+    from jsonld_js_ray.functions.ann import brute_force_topk, ivf_topk
+    rng = np.random.default_rng(4)
+    vecs = _normalize_rows(rng.normal(size=(400, 24)))
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()}
+         for i in range(400)])
+    qids = [0, 5, 9]
+    Q = vecs[qids]
+    exact = brute_force_topk(ds, qids, Q, k=10).to_pandas()
+    approx = ivf_topk(ds, qids, Q, k=10, n_centroids=8,
+                      n_probe=4).to_pandas()
+    recalls = []
+    for q in qids:
+        e = set(exact[exact.query_id == q].vec_id)
+        a = set(approx[approx.query_id == q].vec_id)
+        recalls.append(len(e & a) / len(e))
+    # a query probes half the lists; its own vector must be found and
+    # aggregate recall should be well above chance
+    assert all((approx[approx.query_id == q].vec_id == q).any()
+               for q in qids)
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def _normalize_rows(m):
+    import numpy as np
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1
+    return m / n
