@@ -146,3 +146,82 @@ def test_canonize_graph_isomorphism(edges, rnd):
                 dt, lg, g) for (s, p, k, v, dt, lg, g) in quads]
     rnd.shuffle(renamed)
     assert api.canonize_dataset(renamed) == c1
+
+
+# ---------------------------------------------------------------------------
+# richer documents: container terms + scoped contexts (the
+# context-fidelity hot spots SURVEY.md §7.4 calls out)
+# ---------------------------------------------------------------------------
+
+_RICH_CTX = {
+    "@vocab": V,
+    "lst": {"@id": V + "lst", "@container": "@list"},
+    "st": {"@id": V + "st", "@container": "@set"},
+    "lmap": {"@id": V + "lmap", "@container": "@language"},
+    "imap": {"@id": V + "imap", "@container": "@index"},
+    "idm": {"@id": V + "idm", "@container": "@id"},
+    "typed": {"@id": V + "typed", "@type": V + "DT"},
+    "ref": {"@id": V + "ref", "@type": "@id"},
+    "scoped": {"@id": V + "scoped",
+               "@context": {"name": V + "inner/name"}},
+    "Typ": {"@id": V + "Typ",
+            "@context": {"note": V + "typ/note"}},
+}
+
+_rich_values = st.one_of(
+    st.builds(lambda v: {"plain": v}, _scalars),
+    st.builds(lambda v: {"lst": v}, st.lists(_scalars, max_size=3)),
+    st.builds(lambda v: {"st": v}, st.lists(_scalars, max_size=3)),
+    st.builds(lambda v: {"lmap": v},
+              st.dictionaries(st.sampled_from(["en", "de", "fr"]),
+                              st.text(max_size=6), min_size=1,
+                              max_size=3)),
+    st.builds(lambda v: {"imap": v},
+              st.dictionaries(st.sampled_from(["a", "b"]),
+                              st.text(max_size=6), min_size=1,
+                              max_size=2)),
+    st.builds(lambda v: {"typed": v}, st.text(max_size=8)),
+    st.builds(lambda v: {"ref": V + v},
+              st.sampled_from(["r1", "r2"])),
+    st.builds(lambda v: {"scoped": {"name": v}}, st.text(max_size=6)),
+    st.builds(lambda v: {"@type": "Typ", "note": v},
+              st.text(max_size=6)),
+)
+
+_rich_docs = st.builds(
+    lambda parts, with_id: {
+        "@context": _RICH_CTX,
+        **({"@id": V + "rich"} if with_id else {}),
+        **{k: v for part in parts for k, v in part.items()},
+    },
+    st.lists(_rich_values, min_size=1, max_size=4), st.booleans())
+
+
+_RICH_SETTINGS = dict(_SETTINGS, max_examples=150)
+
+
+@settings(**_RICH_SETTINGS)
+@given(_rich_docs)
+def test_rich_expansion_idempotent(doc):
+    expanded = api.expand(doc)
+    assert api.expand(expanded) == expanded
+
+
+@settings(**_RICH_SETTINGS)
+@given(_rich_docs)
+def test_rich_compact_expand_roundtrip(doc):
+    """compact(expand(x)) re-expands to the same expanded document."""
+    expanded = api.expand(doc)
+    compacted = api.compact(expanded, _RICH_CTX)
+    assert api.expand(compacted) == expanded
+
+
+@settings(**_RICH_SETTINGS)
+@given(_rich_docs)
+def test_rich_flatten_tordf_consistent(doc):
+    """toRDF(flatten(x)) emits the same triples as toRDF(x) modulo
+    blank-node labels (canonize-both-sides)."""
+    from jsonld_js_ray.core.canonize import canonize
+    q1 = canonize(api.to_rdf(doc))
+    q2 = canonize(api.to_rdf(api.flatten(doc), {"skipExpansion": True}))
+    assert q1 == q2
