@@ -340,3 +340,44 @@ def _normalize_rows(m):
     n = np.linalg.norm(m, axis=1, keepdims=True)
     n[n == 0] = 1
     return m / n
+
+
+def test_connected_components_vs_union_find(ray_session):
+    """Randomized graphs: distributed min-label propagation must agree
+    with a scalar union-find on the same edges."""
+    import numpy as np
+    import pandas as pd
+    import ray
+    from jsonld_js_ray.functions.dedup_text import connected_components
+    rng = np.random.default_rng(17)
+    n_nodes, n_edges = 200, 260
+    a = rng.integers(0, n_nodes, n_edges)
+    b = rng.integers(0, n_nodes, n_edges)
+    m = a != b
+    edges = pd.DataFrame({"a": a[m].astype("int64"),
+                          "b": b[m].astype("int64")}).drop_duplicates()
+
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in edges.itertuples():
+        ra, rb = find(r.a), find(r.b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # expected label of node = min node id in its component
+    comp: dict = {}
+    touched = set(edges["a"]) | set(edges["b"])
+    for x in touched:
+        comp.setdefault(find(x), []).append(x)
+    expect = {x: min(members) for root, members in comp.items()
+              for x in members}
+
+    out = connected_components(
+        ray.data.from_pandas(edges)).to_pandas()
+    got = dict(zip(out["a"], out["label"]))
+    assert got == expect
