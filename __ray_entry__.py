@@ -166,6 +166,12 @@ def _doc_token_counts(sf_dir: str):
                                      batch_format="pyarrow")
 
 
+def _doc_bpe_tokens(sf_dir: str):
+    from jsonld_js_ray.functions.text import bpe_token_count_batch
+    return _docs(sf_dir).map_batches(bpe_token_count_batch,
+                                     batch_format="pyarrow")
+
+
 def _doc_quality(sf_dir: str):
     from jsonld_js_ray.functions.text import quality_batch
     return _docs(sf_dir).map_batches(quality_batch, batch_format="pyarrow")
@@ -511,6 +517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_embedding_near_dup": _doc_embedding_near_dup,
         # text analysis
         "doc_token_counts": _doc_token_counts,
+        "doc_bpe_token_counts": _doc_bpe_tokens,
         "doc_quality": _doc_quality,
         "doc_langid": _doc_langid,
         "doc_fingerprint": _doc_fingerprint,
@@ -553,6 +560,13 @@ def oracle_sql() -> dict[str, str]:
                    END AS n_tokens
             FROM documents
         """,
+        "doc_bpe_token_counts": r'''
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]+'))
+                        AS BIGINT) AS n_bpe_tokens
+            FROM documents
+        ''',
         "doc_quality": r"""
             SELECT doc_id,
                    length(text) AS n_chars,

@@ -112,3 +112,23 @@ def fingerprint_batch(batch: pa.Table, window: int = 8) -> pa.Table:
         "doc_id": pa.array(df["doc_id"], pa.int64()),
         "fingerprint": pa.array(fps, pa.int64()),
     })
+
+
+_BPE_RE = None
+
+
+def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
+    """BPE-style pre-tokenizer count: letter runs, digit runs, and
+    punctuation runs count separately (an ASCII-safe simplification of
+    the GPT-2 pre-tokenizer split, chosen so RE2-based SQL oracles and
+    Python agree byte-for-byte). Compiled once per process."""
+    global _BPE_RE
+    if _BPE_RE is None:
+        import re
+        _BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]+")
+    df = batch.select(["doc_id", "text"]).to_pandas()
+    counts = [len(_BPE_RE.findall(t)) for t in df["text"]]
+    return pa.table({
+        "doc_id": pa.array(df["doc_id"], pa.int64()),
+        "n_bpe_tokens": pa.array(counts, pa.int64()),
+    })
