@@ -160,7 +160,8 @@ __all__ = [
     "expand", "flatten", "to_rdf", "to_nquads", "canonize",
     "canonize_dataset", "canonize_quads", "canonical_id_map", "from_rdf",
     "compact", "frame", "parse_nquads", "serialize_nquads",
-    "ContextResolver", "IdentifierIssuer",
+    "ContextResolver", "IdentifierIssuer", "process_context",
+    "initial_context",
     "set_default_event_handler", "safe_event_handler",
     "unhandled_event_handler",
 ]

@@ -284,7 +284,8 @@ def q3_shipping_priority(customer_ds, orders_ds, lineitem_ds,
 
     orders = orders_ds.map_batches(
         FilterOrders, fn_constructor_kwargs={"keys_ref": keys_ref},
-        batch_format="pyarrow", concurrency=2, num_cpus=1)
+        batch_format="pyarrow", concurrency=default_concurrency(8),
+        num_cpus=1)
 
     def li_partial(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
@@ -367,7 +368,8 @@ def region_revenue(region_df, nation_df, customer_df, orders_ds,
 
     orders = orders_ds.map_batches(
         TagOrders, fn_constructor_kwargs={"ref": ref},
-        batch_format="pyarrow", concurrency=2, num_cpus=1)
+        batch_format="pyarrow", concurrency=default_concurrency(8),
+        num_cpus=1)
 
     def li_partial(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
