@@ -166,6 +166,7 @@ _RICH_CTX = {
                "@context": {"name": V + "inner/name"}},
     "Typ": {"@id": V + "Typ",
             "@context": {"note": V + "typ/note"}},
+    "gmap": {"@id": V + "gmap", "@container": ["@graph", "@index"]},
 }
 
 _rich_values = st.one_of(
@@ -185,6 +186,10 @@ _rich_values = st.one_of(
               st.sampled_from(["r1", "r2"])),
     st.builds(lambda v: {"scoped": {"name": v}}, st.text(max_size=6)),
     st.builds(lambda v: {"@type": "Typ", "note": v},
+              st.text(max_size=6)),
+    # named graph via @graph under an @id, and a graph container
+    st.builds(lambda v: {"@graph": [{"name": v}]}, st.text(max_size=6)),
+    st.builds(lambda v: {"gmap": {"g1": {"name": v}}},
               st.text(max_size=6)),
 )
 
