@@ -27,7 +27,15 @@ def canonical_double(value: float) -> str:
 
 
 def canonical_integer(value) -> str:
-    return str(int(value))
+    """ES ``Number.prototype.toFixed(0)`` (cf. reference toRdf.js:308):
+    the sign is extracted first, then the magnitude rounds half-up — so
+    ``-1e-7`` serializes as ``"-0"`` and ``-1.5`` as ``"-2"`` (checked
+    against V8). ``math.modf`` decomposes the double exactly, avoiding
+    the float ``x + 0.5`` misround near ties."""
+    f = float(value)
+    sign = "-" if f < 0 else ""
+    frac, whole = math.modf(abs(f))
+    return sign + str(int(whole) + (1 if frac >= 0.5 else 0))
 
 
 def es6_number_str(value) -> str:

@@ -152,3 +152,15 @@ def test_jcs_sorting_and_unicode():
     assert jcs_canonicalize({"b": 1, "a": 2}) == '{"a":2,"b":1}'
     assert jcs_canonicalize({"é": "ü"}) == '{"é":"ü"}'
     assert jcs_canonicalize([True, None, False]) == "[true,null,false]"
+
+
+def test_canonical_integer_es_tofixed_rule():
+    """ES toFixed(0): sign first, half-up on magnitude (V8-checked)."""
+    from jsonld_js_ray.core.literals import canonical_integer
+    assert canonical_integer(-1e-7) == "-0"
+    assert canonical_integer(-1.5) == "-2"
+    assert canonical_integer(2.5) == "3"
+    assert canonical_integer(-0.5) == "-1"
+    assert canonical_integer(-0.0) == "0"
+    assert canonical_integer(1.2345678901234568e+20) == \
+        "123456789012345683968"
