@@ -14,15 +14,24 @@ import math
 
 
 def canonical_double(value: float) -> str:
-    """XSD canonical double, matching JS toExponential(15) + collapse."""
+    """Double canonical form exactly as the reference computes it
+    (toRdf.js:305: ``toExponential(15).replace(/(\\d)0*e\\+?/, '$1E')``,
+    V8-checked): trailing mantissa zeros collapse but AT LEAST ONE
+    fractional digit survives (``0.1`` → ``1.0E-1``, ``5`` → ``5.0E0``),
+    and ``-0`` loses its sign like JS toExponential."""
     value = float(value)
     if math.isnan(value):
         return "NaN"
     if math.isinf(value):
         return "INF" if value > 0 else "-INF"
     mant, _, exp = f"{value:.15e}".partition("e")
-    if "." in mant:
-        mant = mant.rstrip("0").rstrip(".")
+    if value == 0:
+        mant = mant.lstrip("-")  # JS (-0).toExponential drops the sign
+    mant = mant.rstrip("0")
+    if mant.endswith("."):
+        # the regex's captured digit keeps one zero when the whole
+        # fractional part was zeros
+        mant += "0"
     return f"{mant}E{int(exp)}"
 
 
