@@ -56,7 +56,10 @@ def es6_number_str(value) -> str:
         return "0"
     if f != f or math.isinf(f):
         raise ValueError("NaN/Infinity not allowed in JSON")
-    if f.is_integer() and abs(f) < 1e21:
+    if f.is_integer() and abs(f) < 9007199254740992.0:  # < 2^53
+        # exact and shortest coincide below 2^53; above it ES pads the
+        # SHORTEST digits with zeros (1.2345678901234568e20 →
+        # "123456789012345680000", not the exact ...683968)
         return str(int(f))
     # shortest round-trip digits from repr, then ES6 placement rules
     s = repr(f)

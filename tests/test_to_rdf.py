@@ -156,3 +156,14 @@ def test_canonical_integer_es_tofixed_rule():
     assert canonical_integer(-0.0) == "0"
     assert canonical_integer(1.2345678901234568e+20) == \
         "123456789012345683968"
+
+
+def test_es6_number_str_above_2_53():
+    """ES pads SHORTEST digits with zeros above 2^53, not the exact
+    integer value (V8: JSON.stringify(1.2345678901234568e20))."""
+    from jsonld_js_ray.core.literals import es6_number_str
+    assert es6_number_str(1.2345678901234568e+20) == \
+        "123456789012345680000"
+    assert es6_number_str(9007199254740996.0) == "9007199254740996"
+    assert es6_number_str(123456789012345683968.0) == \
+        "123456789012345680000"
