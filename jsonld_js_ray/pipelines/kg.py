@@ -252,31 +252,45 @@ def entity_summary(quads_ds):
     one row per (subject, doc) pair (carrying partial quad counts);
     stage 2 counts those rows per subject.
     """
-    from ray.data.aggregate import Sum
+    import pandas as pd
+
+    n_buckets = 128
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.select(["subject", "content_sha256"]).to_pandas()
         g = (df.groupby(["subject", "content_sha256"])
                .agg(n_quads=("subject", "size"))
                .reset_index())
+        # coarse bucket of the pair key: per-(subject, doc) Ray groups
+        # would pay per-group overhead at one group per pair
+        g["_pb"] = ((pd.util.hash_array(g["subject"].to_numpy(
+            dtype=object)) ^ pd.util.hash_array(
+            g["content_sha256"].to_numpy(dtype=object)))
+            % n_buckets).astype("int64")
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    pair = (quads_ds.map_batches(partial, batch_format="pyarrow")
-            .groupby(["subject", "content_sha256"])
-            .aggregate(Sum("n_quads", alias_name="n_quads")))
+    def sum_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["subject", "content_sha256"], as_index=False)
+               ["n_quads"].sum())
+        out["n_quads"] = out["n_quads"].astype("int64")
+        out["_sb"] = (pd.util.hash_array(out["subject"].to_numpy(
+            dtype=object)) % n_buckets).astype("int64")
+        return out
 
-    def per_subject(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        g = (df.groupby("subject")
+    pair = (quads_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("_pb").map_groups(sum_pairs, batch_format="pandas"))
+
+    def per_subject(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("subject")
                .agg(n_quads=("n_quads", "sum"),
                     n_docs=("content_sha256", "size"))
                .reset_index())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        out["n_quads"] = out["n_quads"].astype("int64")
+        out["n_docs"] = out["n_docs"].astype("int64")
+        return out
 
-    return (pair.map_batches(per_subject, batch_format="pyarrow")
-            .groupby("subject")
-            .aggregate(Sum("n_quads", alias_name="n_quads"),
-                       Sum("n_docs", alias_name="n_docs")))
+    return (pair.groupby("_sb")
+            .map_groups(per_subject, batch_format="pandas"))
 
 
 def doc_status(ds, snapshot=None, concurrency: Optional[int] = None,
