@@ -83,16 +83,12 @@ def quad_table_to_nquad_lines(batch: pa.Table,
                               sort_lines: bool = True) -> pa.Table:
     """quad rows → one N-Quads line per row (optionally sorted within the
     batch — canonical per-file ordering)."""
-    lines = []
-    for i in range(batch.num_rows):
-        q = (batch.column("subject")[i].as_py(),
-             batch.column("predicate")[i].as_py(),
-             batch.column("object_kind")[i].as_py(),
-             batch.column("object_value")[i].as_py(),
-             batch.column("datatype")[i].as_py(),
-             batch.column("language")[i].as_py(),
-             batch.column("graph")[i].as_py())
-        lines.append(serialize_quad(q))
+    # one to_pylist per column, then zip — per-index .as_py() pays a
+    # C-boundary call per cell (measured ~6x slower on 1M-quad batches)
+    cols = [batch.column(c).to_pylist()
+            for c in ("subject", "predicate", "object_kind",
+                      "object_value", "datatype", "language", "graph")]
+    lines = [serialize_quad(q) for q in zip(*cols)]
     if sort_lines:
         lines = sorted(lines)
     return pa.table({"nquad": pa.array(lines, pa.large_string())})
