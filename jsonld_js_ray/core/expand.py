@@ -605,7 +605,10 @@ def _expand_index_map(active_ctx, key, value, term_def, container, options):
                             raise JsonLdError(
                                 "invalid value object with property index.",
                                 "invalid value object")
-                    elif not is_value(item) and "@index" not in item:
+                    elif "@index" not in item:
+                        # value objects get @index too (reference
+                        # expand.js:1274-1276 has no isValue guard;
+                        # @index is legal on value objects)
                         item["@index"] = idx
             elif "@id" in container:
                 if expanded_idx != "@none" and "@id" not in item:
