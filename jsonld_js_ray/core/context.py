@@ -252,9 +252,11 @@ def process_context(active_ctx: ActiveContext, local_ctx, options: dict,
                     f"Cyclical @context URLs detected: {url}",
                     "recursive context inclusion")
             if len(remote_contexts) >= 10:
+                # MAX_CONTEXT_URLS analog; spec error code is "context
+                # overflow" (cf. reference ContextResolver.js:133-141)
                 raise JsonLdError(
                     "Maximum number of @context URLs exceeded.",
-                    "loading remote context failed")
+                    "context overflow")
             if resolver is None:
                 raise JsonLdError(
                     f"No context resolver configured; cannot dereference "

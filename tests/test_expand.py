@@ -267,3 +267,19 @@ def test_safe_mode_raises_on_dropped_property():
     # non-safe: silently dropped
     out = api.expand(doc)
     assert out == []
+
+
+def test_context_overflow_code():
+    """MAX_CONTEXT_URLS analog uses the spec's 'context overflow' code."""
+    import pytest as _pytest
+    from jsonld_js_ray.core.errors import JsonLdError
+    ctxs = {}
+    for i in range(12):
+        ctxs[f"http://ctx.example/c{i}.jsonld"] = {
+            "@context": [f"http://ctx.example/c{i+1}.jsonld"] if i < 11
+            else {"name": "http://e/name"}}
+    with _pytest.raises(JsonLdError) as ei:
+        api.expand({"@context": "http://ctx.example/c0.jsonld",
+                    "@id": "http://e/a", "name": "x"},
+                   {"contexts": ctxs})
+    assert ei.value.code == "context overflow"
