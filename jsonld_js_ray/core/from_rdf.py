@@ -18,6 +18,30 @@ from .keywords import (
 from .to_rdf import OBJ_BNODE, OBJ_IRI, OBJ_LITERAL, Quad
 
 
+def _is_js_numeric(v: str) -> bool:
+    """JS isNumeric (types.js:64): finite Number coercion. Python quirks
+    excluded: underscores and inf/nan spellings are not JS-numeric."""
+    if not isinstance(v, str) or "_" in v:
+        return False
+    try:
+        f = float(v)
+    except ValueError:
+        return False
+    import math as _m
+    return _m.isfinite(f)
+
+
+def _js_parse_int(v: str):
+    """parseInt(v, 10) to double precision, with the ES toFixed(0)
+    comparison done by the caller. Returns None when toFixed would use
+    exponential form (|i| >= 1e21, never equal to a digit string)."""
+    f = float(v)
+    i = int(f)  # truncates toward zero like parseInt on numeric strings
+    if abs(i) >= 10 ** 21:
+        return None
+    return i
+
+
 def _rdf_to_object(o_kind, o_value, datatype, language, options):
     """RDF term → JSON-LD value (spec §8.3; cf. fromRdf.js:305-407)."""
     if o_kind in (OBJ_IRI, OBJ_BNODE):
@@ -47,21 +71,27 @@ def _rdf_to_object(o_kind, o_value, datatype, language, options):
             rval["@direction"] = direction
         return rval
     if use_native:
+        # exact reference semantics (fromRdf.js:351-377):
+        # booleans accept "1"/"0"; integers convert ONLY when the ES
+        # toFixed(0) of the parsed value round-trips the lexical form
+        # (so "007", "9007199254740993" and huge values stay strings —
+        # and, reference quirk, WITHOUT @type when numeric); doubles
+        # convert for any finite numeric string; NaN/INF never convert
         if datatype == XSD_BOOLEAN:
-            if o_value == "true":
+            if o_value in ("true", "1"):
                 return {"@value": True}
-            if o_value == "false":
+            if o_value in ("false", "0"):
                 return {"@value": False}
         elif datatype == XSD_INTEGER:
-            try:
-                return {"@value": int(o_value)}
-            except ValueError:
-                pass
+            if _is_js_numeric(o_value):
+                i = _js_parse_int(o_value)
+                if i is not None and str(i) == o_value:
+                    return {"@value": i}
+                return {"@value": o_value}  # numeric, non-canonical:
+                # the reference leaves the string untyped here
         elif datatype == XSD_DOUBLE:
-            try:
+            if _is_js_numeric(o_value):
                 return {"@value": float(o_value)}
-            except ValueError:
-                pass
         elif datatype == XSD_STRING or datatype is None:
             return {"@value": o_value}
         rval["@type"] = datatype

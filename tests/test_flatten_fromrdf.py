@@ -116,3 +116,29 @@ def test_full_roundtrip_expand_tordf_fromrdf():
     flat1 = api.flatten(expanded)
     flat2 = api.flatten(back)
     assert flat1 == flat2
+
+
+def test_native_type_conversion_reference_exact():
+    """fromRdf useNativeTypes mirrors the reference exactly (V8-checked
+    decision table): booleans accept 1/0; integers convert only when the
+    ES toFixed(0) round-trips the lexical form (non-canonical numerics
+    stay UNTYPED strings, the reference's quirk); NaN never converts."""
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    def one(lit, dt):
+        out = api.from_rdf(
+            f'<http://e/a> <http://e/p> "{lit}"^^<{XSD}{dt}> .\n',
+            {"useNativeTypes": True})
+        return out[0]["http://e/p"][0]
+    assert one("1", "boolean") == {"@value": True}
+    assert one("0", "boolean") == {"@value": False}
+    assert one("yes", "boolean") == {"@value": "yes",
+                                     "@type": XSD + "boolean"}
+    assert one("30", "integer") == {"@value": 30}
+    assert one("007", "integer") == {"@value": "007"}
+    assert one("999999999999999999999999", "integer") == \
+        {"@value": "999999999999999999999999"}
+    assert one("9007199254740993", "integer") == \
+        {"@value": "9007199254740993"}
+    assert one("NaN", "double") == {"@value": "NaN",
+                                    "@type": XSD + "double"}
+    assert one("1.5E0", "double") == {"@value": 1.5}
