@@ -156,62 +156,91 @@ def lsh_topk(embeddings_ds, query_ids, query_vectors, k: int = 10,
                                                 batch_format="pandas")
 
 
-class CosinePairsVsMatrix:
-    """Actor-pool stage: one float64 matmul per batch against the
-    broadcast corpus matrix; emits only above-threshold pairs a < b."""
+def _pair_explode(n_blocks: int):
+    """1→B explode: a vector in block b (= vec_id % B) is replicated into
+    every tile (min(b,o), max(b,o)) for o in 0..B-1, so each unordered
+    block pair — and hence each vector pair — meets in exactly one tile."""
+    B = n_blocks
 
-    def __init__(self, matrix_ref, threshold: float):
-        import ray
-        side = ray.get(matrix_ref)
-        self.ids = side["ids"]                    # int64 (n,)
-        self.mat = side["matrix"]                 # float64 (n, d)
-        self.norms = np.linalg.norm(self.mat, axis=1)
-        self.threshold = threshold
+    def explode(batch: pa.Table) -> pa.Table:
+        blk = (batch.column("vec_id").to_numpy() % B).astype(np.int64)
+        out = []
+        for other in range(B):
+            i = np.minimum(blk, other)
+            j = np.maximum(blk, other)
+            t = batch.append_column("pair_key",
+                                    pa.array(i * B + j, pa.int64()))
+            out.append(t.append_column("blk", pa.array(blk, pa.int64())))
+        return pa.concat_tables(out)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        vid = batch.column("vec_id").to_numpy()
-        emb = np.asarray(
-            [np.asarray(v, dtype=np.float64)
-             for v in batch.column("embedding").to_pylist()])
-        # cosine = dot / (|a| * |b|), matching the oracle's formula so
-        # float64 results agree to well under the 1e-6 rounding grid
-        dots = emb @ self.mat.T
-        bn = np.linalg.norm(emb, axis=1)
-        sims = dots / np.outer(bn, self.norms)
-        a_less_b = vid[:, None] < self.ids[None, :]
-        ia, ib = np.nonzero((sims >= self.threshold) & a_less_b)
-        return pa.table({
-            "vec_a": pa.array(vid[ia], pa.int64()),
-            "vec_b": pa.array(self.ids[ib], pa.int64()),
-            "cosine": pa.array(np.round(sims[ia, ib], 6), pa.float64()),
-        })
+    return explode
 
 
-def embedding_cosine_pairs(embeddings_ds, threshold: float = 0.35):
-    """Embedding-cosine near-duplicate pairs (brute-force baseline).
+def _pair_tile_kernel(n_blocks: int, threshold: float):
+    """Per-tile exact cosine join. Tile (i, j) compares block-i rows
+    against block-j rows (upper triangle when i == j). cosine is
+    dot / (|a| * |b|), the oracle's formula, so float64 results agree to
+    well under the 1e-6 rounding grid."""
+    B = n_blocks
+    empty = pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                          "vec_b": pd.Series([], dtype="int64"),
+                          "cosine": pd.Series([], dtype="float64")})
 
-    The corpus matrix is assembled once by streaming batches on the
-    driver, broadcast via ray.put, and every batch does a single float64
-    matmul against it — the same broadcast-small-side shape as
-    brute_force_topk. This is the exact baseline; the scale path once the
-    matrix no longer fits a node is the LSH-bucketed variant (lsh_topk's
-    bucketing), which trades recall for a bounded bucket join."""
-    import ray
-    ids, chunks = [], []
-    for b in embeddings_ds.select_columns(["vec_id", "embedding"]) \
-            .iter_batches(batch_format="pyarrow", batch_size=4096):
-        ids.append(b.column("vec_id").to_numpy())
-        chunks.append(np.asarray(
-            [np.asarray(v, dtype=np.float64)
-             for v in b.column("embedding").to_pylist()]))
-    side = {"ids": np.concatenate(ids),
-            "matrix": np.concatenate(chunks, axis=0)}
-    ref = ray.put(side)
-    return embeddings_ds.select_columns(["vec_id", "embedding"]).map_batches(
-        CosinePairsVsMatrix,
-        fn_constructor_kwargs={"matrix_ref": ref, "threshold": threshold},
-        batch_format="pyarrow", concurrency=default_concurrency(8),
-        num_cpus=1)
+    def per_tile(g: pd.DataFrame) -> pd.DataFrame:
+        i, j = divmod(int(g["pair_key"].iloc[0]), B)
+        if i == j:
+            ids = g["vec_id"].to_numpy(dtype=np.int64)
+            M = _matrix(g)
+            dots = M @ M.T
+            norms = np.linalg.norm(M, axis=1)
+            sims = dots / np.outer(norms, norms)
+            keep = (sims >= threshold) & (ids[:, None] < ids[None, :])
+            ia, ib = np.nonzero(keep)
+            a, b = ids[ia], ids[ib]
+        else:
+            left = g["blk"].to_numpy() == i
+            gi, gj = g[left], g[~left]
+            if not len(gi) or not len(gj):
+                return empty
+            ida = gi["vec_id"].to_numpy(dtype=np.int64)
+            idb = gj["vec_id"].to_numpy(dtype=np.int64)
+            A, Bm = _matrix(gi), _matrix(gj)
+            sims = (A @ Bm.T) / np.outer(np.linalg.norm(A, axis=1),
+                                         np.linalg.norm(Bm, axis=1))
+            ia, ib = np.nonzero(sims >= threshold)
+            # blocks are vec_id % B, so orient each cross pair a < b
+            a = np.minimum(ida[ia], idb[ib])
+            b = np.maximum(ida[ia], idb[ib])
+        if not len(a):
+            return empty
+        return pd.DataFrame({"vec_a": a, "vec_b": b,
+                             "cosine": np.round(sims[ia, ib], 6)})
+
+    return per_tile
+
+
+def embedding_cosine_pairs(embeddings_ds, threshold: float = 0.35,
+                           n_blocks: int | None = None,
+                           target_block_rows: int = 4096):
+    """Embedding-cosine near-duplicate pairs — exact, fully distributed.
+
+    Block-nested-loop join expressed in Ray Data: vectors are tiled into
+    B = ceil(n / target_block_rows) hash blocks, each vector is exploded
+    into the B tiles (i ≤ j) that contain its block, and a
+    groupby(pair_key) shuffle co-locates each tile for one vectorized
+    matmul. Every vector pair is compared exactly once; nothing is ever
+    materialized on the driver and per-tile memory is bounded by
+    2 × target_block_rows rows. Total compute is the inherent O(n²) of an
+    exact all-pairs join (shuffle volume n·B scales with it); the scale
+    path that trades recall for sub-quadratic cost is the LSH/IVF
+    bucketing in lsh_topk / ivf_topk."""
+    ds = embeddings_ds.select_columns(["vec_id", "embedding"])
+    if n_blocks is None:
+        n_blocks = max(1, -(-ds.count() // target_block_rows))
+    tiled = ds.map_batches(_pair_explode(n_blocks), batch_format="pyarrow",
+                           num_cpus=1)
+    return tiled.groupby("pair_key").map_groups(
+        _pair_tile_kernel(n_blocks, threshold), batch_format="pandas")
 
 
 def _kmeans(sample: np.ndarray, n_centroids: int, seed: int = 13,
