@@ -319,30 +319,44 @@ def jaccard_verify(docs_ds, pairs_ds, threshold: float = 0.8, k: int = 5):
 
 
 class SimHasher:
-    """Actor-pool SimHash (64-bit) over word tokens."""
+    """Actor-pool SimHash (64-bit) over word tokens — batch-vectorized.
+
+    One pandas ``str.findall`` tokenize + explode per batch, one
+    ``pd.util.hash_array`` call over the whole token column (vectorized
+    siphash, deterministic), and one segment-reduce of the ±1 bit votes
+    per document — no per-token or per-bit Python in the hot path.
+    tests/test_dedup_text.py carries an independent scalar-python
+    re-derivation of the algorithm (same hash primitive) as the oracle."""
 
     def __init__(self, seed: int = 11):
         import re
         self.tok = re.compile(r"\w+")
+        self.shifts = np.arange(64, dtype=np.uint64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         df = batch.select(["doc_id", "text"]).to_pandas()
-        out = []
-        for text in df["text"]:
-            toks = self.tok.findall(text.lower())
-            if not toks:
-                out.append(0)
-                continue
-            hs = np.array([int.from_bytes(
-                hashlib.blake2b(t.encode(), digest_size=8).digest(),
-                "little") for t in set(toks)], dtype=np.uint64)
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                    & np.uint64(1)).astype(np.int32)
-            v = (2 * bits - 1).sum(axis=0)
-            sim = np.uint64(0)
-            for j in np.nonzero(v > 0)[0]:
-                sim |= np.uint64(1) << np.uint64(j)
-            out.append(int(sim % (1 << 63)))
+        toks = df["text"].str.lower().str.findall(self.tok)
+        ex = toks.explode().dropna()
+        sims = np.zeros(len(df), dtype=np.uint64)
+        if len(ex):
+            # distinct tokens per doc; explode preserves doc order so the
+            # doc index is non-decreasing -> segment-reduce via reduceat
+            pairs = pd.DataFrame({"i": ex.index.to_numpy(),
+                                  "tok": ex.to_numpy()}).drop_duplicates()
+            hs = pd.util.hash_array(
+                pairs["tok"].to_numpy()).astype(np.uint64)
+            # bit j of column j via unpackbits on the little-endian byte
+            # view (measured ~100x faster cold than a broadcast shift,
+            # which pays a multi-second first-ufunc warmup per process)
+            bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8),
+                                 axis=1, bitorder="little").astype(np.int32)
+            i = pairs["i"].to_numpy()
+            starts = np.flatnonzero(np.r_[True, i[1:] != i[:-1]])
+            ones = np.add.reduceat(bits, starts, axis=0)
+            cnt = np.diff(np.r_[starts, len(i)])
+            pos = (2 * ones - cnt[:, None] > 0).astype(np.uint64)
+            sims[i[starts]] = (pos << self.shifts[None, :]).sum(axis=1)
+        out = (sims % np.uint64(1 << 63)).astype(np.int64)
         return pa.table({"doc_id": pa.array(df["doc_id"], pa.int64()),
                          "simhash": pa.array(out, pa.int64())})
 

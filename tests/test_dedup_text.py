@@ -155,17 +155,21 @@ def test_embedding_cosine_pairs(ray_session):
 
 def _ref_simhash(text: str) -> int:
     """SimHash-64 per Charikar: per-token 64-bit hash, signed bit vote,
-    positive bits set. Deliberately written scalar-python (no numpy) so
-    it is an independent derivation from the definition."""
-    import hashlib as _h
+    positive bits set. Deliberately written scalar-python (loops, no
+    vectorization) so it is an independent derivation of the ALGORITHM;
+    the 64-bit token hash primitive (pd.util.hash_array's deterministic
+    siphash) is shared with the pipeline, called one token at a time."""
     import re as _re
+
+    import numpy as _np
+    import pandas as _pd
     toks = set(_re.findall(r"\w+", text.lower()))
     if not toks:
         return 0
     votes = [0] * 64
     for t in toks:
-        h = int.from_bytes(_h.blake2b(t.encode(), digest_size=8).digest(),
-                           "little")
+        h = int(_pd.util.hash_array(
+            _np.array([t], dtype=object))[0])
         for j in range(64):
             votes[j] += 1 if (h >> j) & 1 else -1
     sim = 0
