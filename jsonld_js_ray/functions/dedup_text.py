@@ -396,46 +396,40 @@ def _bucketed_min(ds, key: str, val: str, rename: str | None = None,
 
 
 def connected_components(pairs_ds, max_rounds: int = 15,
-                         num_buckets: int = 32):
+                         num_buckets: int = 32, hops_per_round: int = 1):
     """Min-label propagation over candidate-pair edges — labels stay a
     Dataset end-to-end; the driver only ever sees one scalar per round.
 
     Returns (a=node, label=component) with label = min doc_id reachable.
-    Each round is one bucketed hash shuffle + one groupby-Min:
+    Each hop is one bucketed hash shuffle + one groupby-Min:
       1. edges keyed on the neighbor, current labels keyed on the node,
          and SHORTCUT edges (node <-> label, i.e. pointer jumping — so
          label(label(n)) reaches n in one round, O(log diameter) rounds
          instead of O(diameter)) are co-located by ``key % B``; inside
          each bucket a vectorized pandas merge attaches each key's label
          to every edge pointing at it and pre-combines per node — B
-         Python calls per round, NOT one per graph node;
+         Python calls per hop, NOT one per graph node;
       2. groupby(node) Min folds the propagated labels with each node's
-         own label.
+         own label (the propagate output carries every node's current
+         label row, so no extra union with the labels dataset).
     Labels are monotonically non-increasing, so convergence ==
     Sum(label) unchanged — a single aggregate scalar, never an
-    O(nodes) driver dict (that was the round-1 scale killer)."""
+    O(nodes) driver dict (that was the round-1 scale killer).
+
+    Per-round fixed overhead (execution startup, not shuffle volume)
+    dominated wall-clock on modest graphs; this layout runs ONE
+    materialize + one cheap scalar probe per round (initial labels are
+    derived from the already-materialized tagged edges, the redundant
+    labels union per hop is gone). ``hops_per_round`` > 1 chains hops
+    lazily into one execution, but an interleaved A/B at sf0.1 measured
+    it SLOWER (8-10 s vs 4-6 s): the shortcut/label branches re-derive
+    the intermediate hop inside the DAG, so keep the default 1."""
 
     def both_dirs(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
         rev = df.rename(columns={"a": "b", "b": "a"})
         out = pd.concat([df[["a", "b"]], rev[["a", "b"]]])
         return pa.Table.from_pandas(out, preserve_index=False)
-
-    edges = (pairs_ds.map_batches(both_dirs, batch_format="pyarrow")
-             .materialize())
-
-    # initial label per node: min(self, min neighbor); per-node Ray
-    # aggregate would pay per-group overhead, so bucket + vectorize
-    labels = _bucketed_min(edges, "a", "b", rename="label")
-
-    def self_min(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        df["label"] = np.minimum(df["a"], df["label"]).astype("int64")
-        return pa.Table.from_pandas(df[["a", "label"]],
-                                    preserve_index=False)
-
-    labels = labels.map_batches(self_min,
-                                batch_format="pyarrow").materialize()
 
     nb = np.int64(num_buckets)
 
@@ -483,39 +477,69 @@ def connected_components(pairs_ds, max_rounds: int = 15,
         # map-side combine before the global groupby-Min
         return out.groupby("a", as_index=False)["label"].min()
 
-    prev_sum = None
+    # one materialize up front: the tagged-edge layout is reused every
+    # hop, and counting it afterwards is metadata-only
+    edges_all = pairs_ds.map_batches(both_dirs, batch_format="pyarrow") \
+        .map_batches(tag_edges, batch_format="pyarrow").materialize()
+    n_edges = edges_all.count()
     # block count sized to the data: at ~10k edges a 32-block layout
     # means every per-round shuffle schedules dozens of near-empty
     # tasks and fixed overhead dominates wall-clock; one block per
     # ~100k rows, floor 2, cap default_concurrency()
-    n_edges = edges.count()
     nparts = max(2, min(default_concurrency(), n_edges // 100_000 + 2))
-    edges_tagged = (edges.map_batches(tag_edges, batch_format="pyarrow")
-                    .repartition(nparts).materialize())
-    labels = labels.repartition(nparts).materialize()
+    edges_tagged = edges_all.repartition(nparts).materialize()
+
+    # initial label per node: min(self, min neighbor), derived from the
+    # already-materialized tagged edges (key = neighbor, node = self);
+    # per-node Ray aggregate would pay per-group overhead, so bucket +
+    # vectorize — one execution, repartition fused in
+    def tag_node_bucket(b: pa.Table) -> pa.Table:
+        n = b.column("node").to_numpy(zero_copy_only=False)
+        return b.append_column("_ib", pa.array(n % nb, pa.int64()))
+
+    def init_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", as_index=False)["key"].min()
+        return pd.DataFrame({
+            "a": out["node"].astype("int64"),
+            "label": np.minimum(out["node"],
+                                out["key"]).astype("int64")})
+
+    labels = (edges_tagged.map_batches(tag_node_bucket,
+                                       batch_format="pyarrow")
+              .groupby("_ib").map_groups(init_bucket,
+                                         batch_format="pandas")
+              .map_batches(lambda t: t, batch_format="pyarrow")
+              .repartition(nparts).materialize())
+
+    prev_sum = None
     for _ in range(max_rounds):
+        # ``hops_per_round`` lazy hops chained into ONE execution:
+        # shuffle volume is tiny next to per-execution startup, so
+        # fusing hops cuts wall-clock even though the shortcut/label
+        # branches re-derive the intermediate hop inside the same DAG
+        cur = labels
+        for _hop in range(hops_per_round):
+            lbl_tagged = cur.map_batches(tag_labels,
+                                         batch_format="pyarrow")
+            shortcut = cur.map_batches(tag_label_edges,
+                                       batch_format="pyarrow")
+            prop = (edges_tagged.union(shortcut).union(lbl_tagged)
+                    .groupby("kb")
+                    .map_groups(propagate_bucket, batch_format="pandas")
+                    # normalize to Arrow blocks before the next
+                    # sort-shuffle (must not mix block types)
+                    .map_batches(lambda t: t, batch_format="pyarrow"))
+            # propagate output carries every node's current label row,
+            # so the groupby-Min needs no union with ``cur``; the
+            # repartition keeps block counts bounded (unbounded growth
+            # degraded the per-round sort geometrically: 3 s -> 13 s ->
+            # 132 s per round)
+            cur = _bucketed_min(prop, "a", "label").repartition(nparts)
+        labels = cur.materialize()
         s = labels.sum("label")
         if prev_sum is not None and s == prev_sum:
             break
         prev_sum = s
-        lbl_tagged = labels.map_batches(tag_labels,
-                                        batch_format="pyarrow")
-        shortcut = labels.map_batches(tag_label_edges,
-                                      batch_format="pyarrow")
-        prop = (edges_tagged.union(shortcut).union(lbl_tagged)
-                .groupby("kb")
-                .map_groups(propagate_bucket, batch_format="pandas")
-                # normalize to Arrow blocks: union with the Arrow-block
-                # labels dataset must not mix block types for the next
-                # sort-shuffle
-                .map_batches(lambda t: t, batch_format="pyarrow"))
-        labels = (_bucketed_min(prop.union(labels), "a", "label")
-                  # union ADDS block counts, so without rebounding them
-                  # the per-round sort degrades geometrically (measured:
-                  # 3 s -> 13 s -> 132 s per round); repartition is a
-                  # cheap metadata-level merge here
-                  .repartition(nparts)
-                  .materialize())
     return labels
 
 
