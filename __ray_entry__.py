@@ -420,10 +420,12 @@ def _region_revenue(sf_dir: str):
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"])
     return region_revenue(_read_pdf(sf_dir, "region"),
                           _read_pdf(sf_dir, "nation"),
-                          _read_pdf(sf_dir, "customer"),
-                          orders, li)
+                          cust, orders, li)
 
 
 def _events_hourly(sf_dir: str):

@@ -197,7 +197,10 @@ def hash_join(left_ds, right_ds, key: str, n_buckets: int = 64,
         out = {}
         for name, typ in zip(schema.names, schema.types):
             try:
-                out[name] = typ.to_pandas_dtype()
+                # typ is None for pandas extension dtypes Ray cannot
+                # express in Arrow — leave those columns untouched
+                if typ is not None:
+                    out[name] = typ.to_pandas_dtype()
             except NotImplementedError:
                 pass
         return out
@@ -216,15 +219,29 @@ def hash_join(left_ds, right_ds, key: str, n_buckets: int = 64,
             return pa.Table.from_pandas(df, preserve_index=False)
         return fn
 
+    def _restore(df: pd.DataFrame, dtypes: dict) -> pd.DataFrame:
+        # a genuinely-null value in a nullable int column arrives as
+        # float64 NaN after the union's to_pandas; plain astype(int64)
+        # would raise, so such columns restore to pandas' nullable
+        # Int64 (same Arrow int64 type, so blocks stay consistent)
+        cast = {}
+        for c, d in dtypes.items():
+            if c not in df.columns:
+                continue
+            if (np.issubdtype(np.dtype(d), np.integer)
+                    and df[c].isna().any()):
+                cast[c] = pd.Int64Dtype()
+            else:
+                cast[c] = d
+        return df.astype(cast)
+
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         le = g.loc[g["_side"] == 0,
                    [c for c in g.columns if c in left_cols]]
         ri = g.loc[g["_side"] == 1,
                    [c for c in g.columns if c in right_cols]]
-        le = le.astype({c: d for c, d in ldtypes.items()
-                        if c in le.columns})
-        ri = ri.astype({c: d for c, d in rdtypes.items()
-                        if c in ri.columns})
+        le = _restore(le, ldtypes)
+        ri = _restore(ri, rdtypes)
         return le.merge(ri, on=key, how=how, suffixes=("_x", "_y"))
 
     tagged = left_ds.map_batches(tag(0), batch_format="pyarrow").union(
@@ -236,56 +253,115 @@ def hash_join(left_ds, right_ds, key: str, n_buckets: int = 64,
     return out.map_batches(lambda t: t, batch_format="pyarrow")
 
 
+def _small_side_refs(ds, threshold: int):
+    """Distributed build of a broadcast side: the rows stay in the
+    object store end-to-end — per-block work happens in tasks, the
+    driver holds only block REFS (never the data) and a row count.
+
+    Returns the list of Arrow block refs, or None when the side exceeds
+    ``threshold`` rows (the caller flips to the shuffle ``hash_join``).
+    Readers ``ray.get`` the refs once per actor in __init__ — zero-copy
+    reads from the local object store, not a per-batch reship."""
+    mat = ds.materialize()
+    if mat.count() > threshold:
+        return None
+    return mat.to_arrow_refs()
+
+
+def _sorted_lookup(tables, key: str, val: str | None = None):
+    """Concatenate broadcast blocks into a sorted key array (plus an
+    optional aligned value array) for vectorized searchsorted probes."""
+    t = pa.concat_tables(tables)
+    k = t.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(k, kind="stable")
+    k = k[order]
+    if val is None:
+        return k
+    v = t.column(val).to_numpy(zero_copy_only=False)[order]
+    return k, v
+
+
+def _member_mask(sorted_keys: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    if not len(sorted_keys):
+        return np.zeros(len(vals), dtype=bool)
+    idx = np.searchsorted(sorted_keys, vals)
+    idx = np.clip(idx, 0, len(sorted_keys) - 1)
+    return sorted_keys[idx] == vals
+
+
 def q3_shipping_priority(customer_ds, orders_ds, lineitem_ds,
                          segment: str = "BUILDING",
-                         cutoff: str = "1998-06-01", k: int = 10):
+                         cutoff: str = "1998-06-01", k: int = 10,
+                         broadcast_threshold: int = 5_000_000):
     """TPC-H Q3 shape: σ(customer) ⋈ σ(orders) ⋈ σ(lineitem) → groupby
     orderkey sum(revenue) → global top-k.
 
-    Join strategy by size: the filtered customer side is broadcast
-    (ray.put key set, ~1/5 of a dimension table); orders×lineitem is the
-    large×large side and uses the bucketed hash_join. Revenue is
-    pre-aggregated per orderkey inside lineitem batches BEFORE the join
-    shuffle (map-side combine), and top-k runs as per-block partial
-    top-k → single final merge."""
+    Join strategy by size: the filtered customer key set is built
+    DISTRIBUTED (per-block distinct in tasks, driver keeps only object
+    refs) and broadcast while it is under ``broadcast_threshold`` rows;
+    beyond that the customer⋈orders side flips to the bucketed
+    ``hash_join`` — no unbounded driver-side or per-actor state.
+    orders×lineitem is always the large×large bucketed hash_join.
+    Revenue is pre-aggregated per orderkey inside lineitem batches
+    BEFORE the join shuffle (map-side combine), and top-k runs as
+    per-block partial top-k → single final merge."""
+    import pyarrow.compute as pc
     import ray
 
     cut = np.datetime64(cutoff)
 
     cust = customer_ds.map_batches(
-        lambda b: b.filter(
-            __import__("pyarrow").compute.equal(b.column("c_mktsegment"),
-                                                segment)),
-        batch_format="pyarrow").select_columns(["c_custkey"])
-    # broadcast the filtered key set once
-    keys = set()
-    for b in cust.iter_batches(batch_format="pyarrow", batch_size=65536):
-        keys.update(b.column("c_custkey").to_pylist())
-    keys_ref = ray.put(keys)
+        lambda b: pa.table({"c_custkey": pc.unique(
+            b.filter(pc.equal(b.column("c_mktsegment"), segment))
+            .column("c_custkey"))}),
+        batch_format="pyarrow")
 
-    class FilterOrders:
-        def __init__(self, keys_ref):
-            self.keys = ray.get(keys_ref)
+    def order_cols(df: pd.DataFrame) -> pa.Table:
+        # unit-safe epoch seconds (parquet timestamps arrive as
+        # datetime64[us] in pandas 2.x, not [ns])
+        df = df.copy()
+        df["o_epoch"] = (df["o_orderdate"]
+                         .astype("datetime64[s]")
+                         .astype("int64"))
+        return pa.Table.from_pandas(
+            df[["o_orderkey", "o_epoch", "o_orderpriority"]],
+            preserve_index=False)
 
-        def __call__(self, b: pa.Table) -> pa.Table:
+    key_refs = _small_side_refs(cust, broadcast_threshold)
+    if key_refs is None:
+        # scale fallback: filtered-customer side too big to broadcast
+        def date_filter(b: pa.Table) -> pa.Table:
             df = b.to_pandas()
-            m = (df["o_orderdate"].to_numpy() < cut) \
-                & df["o_custkey"].isin(self.keys).to_numpy()
-            out = df.loc[m, ["o_orderkey", "o_orderdate",
-                             "o_orderpriority"]].copy()
-            # unit-safe epoch seconds (parquet timestamps arrive as
-            # datetime64[us] in pandas 2.x, not [ns])
-            out["o_epoch"] = (out["o_orderdate"]
-                              .astype("datetime64[s]")
-                              .astype("int64"))
+            df = df[df["o_orderdate"].to_numpy() < cut]
+            df["o_epoch"] = (df["o_orderdate"]
+                             .astype("datetime64[s]").astype("int64"))
             return pa.Table.from_pandas(
-                out[["o_orderkey", "o_epoch", "o_orderpriority"]],
-                preserve_index=False)
+                df[["o_orderkey", "o_custkey", "o_epoch",
+                    "o_orderpriority"]], preserve_index=False)
 
-    orders = orders_ds.map_batches(
-        FilterOrders, fn_constructor_kwargs={"keys_ref": keys_ref},
-        batch_format="pyarrow", concurrency=default_concurrency(8),
-        num_cpus=1)
+        keys_ds = cust.map_batches(
+            lambda b: b.rename_columns(["o_custkey"]),
+            batch_format="pyarrow")
+        orders = hash_join(
+            orders_ds.map_batches(date_filter, batch_format="pyarrow"),
+            keys_ds, "o_custkey").drop_columns(["o_custkey"])
+    else:
+        class FilterOrders:
+            def __init__(self, key_refs):
+                self.keys = _sorted_lookup(ray.get(key_refs),
+                                           "c_custkey")
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                df = b.to_pandas()
+                m = (df["o_orderdate"].to_numpy() < cut) \
+                    & _member_mask(self.keys,
+                                   df["o_custkey"].to_numpy())
+                return order_cols(df.loc[m])
+
+        orders = orders_ds.map_batches(
+            FilterOrders, fn_constructor_kwargs={"key_refs": key_refs},
+            batch_format="pyarrow", concurrency=default_concurrency(8),
+            num_cpus=1)
 
     def li_partial(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
@@ -335,41 +411,76 @@ def q3_shipping_priority(customer_ds, orders_ds, lineitem_ds,
             .groupby("_g").map_groups(topk_final, batch_format="pandas"))
 
 
-def region_revenue(region_df, nation_df, customer_df, orders_ds,
-                   lineitem_ds):
+def region_revenue(region_df, nation_df, customer_ds, orders_ds,
+                   lineitem_ds, broadcast_threshold: int = 5_000_000):
     """Q5-shape revenue per region over the full 5-table chain.
 
-    The dimension chain region→nation→customer is tiny: folded into ONE
-    broadcast dict custkey→region_name (ray.put once, read per actor).
-    orders picks up the region via that dict (map-side, no shuffle);
-    lineitem revenue is pre-combined per orderkey per batch; the only
-    shuffle joins orders×lineitem on orderkey via hash_join, and the
+    region and nation are tiny forever (25/5 rows) and stay a driver
+    dict; customer is only "small" until it isn't, so the
+    custkey→region side is built DISTRIBUTED (customer batches map to
+    (c_custkey, r_name) in tasks; the driver holds object refs, never
+    rows) and broadcast while under ``broadcast_threshold`` rows —
+    beyond that orders⋈customer flips to the bucketed ``hash_join``.
+    lineitem revenue is pre-combined per orderkey per batch; the
+    orders×lineitem shuffle joins on orderkey via hash_join, and the
     final per-region rollup is a 5-group aggregate."""
     import ray
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     n2r = dict(zip(nation_df["n_nationkey"],
                    nation_df["n_regionkey"].map(
                        dict(zip(region_df["r_regionkey"],
                                 region_df["r_name"])))))
-    cust2region = dict(zip(customer_df["c_custkey"],
-                           customer_df["c_nationkey"].map(n2r)))
-    ref = ray.put(cust2region)
+    n2r_ref = ray.put(n2r)
 
-    class TagOrders:
-        def __init__(self, ref):
-            self.c2r = ray.get(ref)
+    class CustRegion:
+        def __init__(self, n2r_ref):
+            self.n2r = ray.get(n2r_ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
             df = b.to_pandas()
-            df["r_name"] = df["o_custkey"].map(self.c2r)
-            return pa.Table.from_pandas(
-                df[["o_orderkey", "r_name"]], preserve_index=False)
+            return pa.table({
+                "o_custkey": pa.array(df["c_custkey"], pa.int64()),
+                "r_name": pa.array(df["c_nationkey"].map(self.n2r),
+                                   pa.string()),
+            })
 
-    orders = orders_ds.map_batches(
-        TagOrders, fn_constructor_kwargs={"ref": ref},
+    cust_region = customer_ds.map_batches(
+        CustRegion, fn_constructor_kwargs={"n2r_ref": n2r_ref},
         batch_format="pyarrow", concurrency=default_concurrency(8),
         num_cpus=1)
+
+    cr_refs = _small_side_refs(cust_region, broadcast_threshold)
+    if cr_refs is None:
+        # scale fallback: customer no longer broadcastable
+        orders = hash_join(orders_ds, cust_region, "o_custkey") \
+            .drop_columns(["o_custkey"])
+    else:
+        class TagOrders:
+            def __init__(self, cr_refs):
+                self.keys, self.names = _sorted_lookup(
+                    ray.get(cr_refs), "o_custkey", "r_name")
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                df = b.to_pandas()
+                ck = df["o_custkey"].to_numpy()
+                if not len(self.keys):
+                    names = np.full(len(ck), None, dtype=object)
+                else:
+                    m = _member_mask(self.keys, ck)
+                    idx = np.clip(np.searchsorted(self.keys, ck), 0,
+                                  len(self.keys) - 1)
+                    names = np.where(m, self.names[idx], None)
+                return pa.table({
+                    "o_orderkey": pa.array(df["o_orderkey"],
+                                           pa.int64()),
+                    "r_name": pa.array(names, pa.string()),
+                })
+
+        orders = orders_ds.map_batches(
+            TagOrders, fn_constructor_kwargs={"cr_refs": cr_refs},
+            batch_format="pyarrow", concurrency=default_concurrency(8),
+            num_cpus=1)
 
     def li_partial(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
