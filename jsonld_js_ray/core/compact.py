@@ -389,10 +389,14 @@ def compact(active_ctx: ActiveContext, active_property: Optional[str],
     # produced shared/cyclic node objects (@embed: @link), reuse the
     # already-compacted object for the identical expanded object so shared
     # structure survives and cycles terminate.
+    # the memo keys on the expanded OBJECT itself (identity via ``is``),
+    # keeping it alive for the memo's lifetime — an id()-keyed memo can
+    # alias a freed temporary's recycled address (reference compact.js
+    # stores the expanded object in its link entries for the same reason)
     link = options.get("link")
     if link is not None and "@id" in element:
-        for exp_id, compacted in link.get(element["@id"], []):
-            if exp_id == id(element):
+        for exp_obj, compacted in link.get(element["@id"], []):
+            if exp_obj is element:
                 return compacted
 
     td0 = active_ctx.mappings.get(active_property) or {}
@@ -413,7 +417,7 @@ def compact(active_ctx: ActiveContext, active_property: Optional[str],
         if not isinstance(rval, (dict, list)):
             if link is not None and is_subject_reference(element):
                 link.setdefault(element["@id"], []).append(
-                    (id(element), rval))
+                    (element, rval))
             return rval
         if is_value(element):
             return rval
@@ -433,7 +437,7 @@ def compact(active_ctx: ActiveContext, active_property: Optional[str],
     # cyclic @link structure hits the memo instead of recursing forever
     # (cf. reference compact.js:172-178)
     if link is not None and "@id" in element:
-        link.setdefault(element["@id"], []).append((id(element), result))
+        link.setdefault(element["@id"], []).append((element, result))
 
     # type-scoped contexts, applied in compacted-term sorted order
     if "@type" in element:

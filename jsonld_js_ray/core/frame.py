@@ -414,10 +414,13 @@ def _remove_embed(state, sid):
     else:
         vals = parent.get(prop)
         if isinstance(vals, list):
+            # mirror removeValue+addValue: drop EVERY value whose @id
+            # matches, then append ONE reference at the end — several
+            # references collapse into one, position moves to the tail
             parent[prop] = [
-                subject_ref if (isinstance(v, dict)
-                                and v.get("@id") == sid) else v
-                for v in vals]
+                v for v in vals
+                if not (isinstance(v, dict) and not is_value(v)
+                        and v.get("@id") == sid)] + [subject_ref]
         elif vals is not None:
             parent[prop] = subject_ref
 

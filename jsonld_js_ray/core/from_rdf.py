@@ -18,11 +18,25 @@ from .keywords import (
 from .to_rdf import OBJ_BNODE, OBJ_IRI, OBJ_LITERAL, Quad
 
 
+import re as _re
+
+# unsigned radix literals Number() accepts ('0x10' -> 16, '0o7' -> 7,
+# '0b1' -> 1; a sign or bad digit makes Number() NaN). parseFloat on
+# these yields 0 (parses the leading "0"), so isNumeric is true while
+# both parseInt(v, 10) and parseFloat(v) evaluate to 0.
+_JS_RADIX_RE = _re.compile(
+    r"^\s*(?:0[xX][0-9a-fA-F]+|0[oO][0-7]+|0[bB][01]+)\s*$")
+
+
 def _is_js_numeric(v: str) -> bool:
-    """JS isNumeric (types.js:64): finite Number coercion. Python quirks
-    excluded: underscores and inf/nan spellings are not JS-numeric."""
+    """JS isNumeric (types.js:64): !isNaN(parseFloat(v)) && isFinite(v).
+    Python quirks excluded: underscores and inf/nan spellings are not
+    JS-numeric; JS quirk included: unsigned hex/octal/binary forms ARE
+    (Number coerces them, parseFloat reads their leading 0)."""
     if not isinstance(v, str) or "_" in v:
         return False
+    if _JS_RADIX_RE.match(v):
+        return True
     try:
         f = float(v)
     except ValueError:
@@ -35,11 +49,21 @@ def _js_parse_int(v: str):
     """parseInt(v, 10) to double precision, with the ES toFixed(0)
     comparison done by the caller. Returns None when toFixed would use
     exponential form (|i| >= 1e21, never equal to a digit string)."""
+    if _JS_RADIX_RE.match(v):
+        return 0  # parseInt('0x10', 10) parses the leading "0"
     f = float(v)
     i = int(f)  # truncates toward zero like parseInt on numeric strings
     if abs(i) >= 10 ** 21:
         return None
     return i
+
+
+def _js_parse_float(v: str) -> float:
+    """parseFloat(v) for strings isNumeric accepted: radix forms parse
+    their leading "0"; everything else is a full float literal."""
+    if _JS_RADIX_RE.match(v):
+        return 0.0
+    return float(v)
 
 
 def _rdf_to_object(o_kind, o_value, datatype, language, options):
@@ -91,7 +115,7 @@ def _rdf_to_object(o_kind, o_value, datatype, language, options):
                 # the reference leaves the string untyped here
         elif datatype == XSD_DOUBLE:
             if _is_js_numeric(o_value):
-                return {"@value": float(o_value)}
+                return {"@value": _js_parse_float(o_value)}
         elif datatype == XSD_STRING or datatype is None:
             return {"@value": o_value}
         rval["@type"] = datatype

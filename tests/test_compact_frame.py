@@ -172,3 +172,19 @@ def test_frame_wildcard_matches_all():
     graph = out.get("@graph", [out] if "@id" in out else [])
     ids = {n["@id"] for n in graph} if isinstance(graph, list) else set()
     assert ids == {V + "a", V + "b"}
+
+
+def test_remove_embed_collapses_matching_references():
+    """_removeEmbed mirrors the reference's removeValue+addValue: every
+    value under the property whose @id matches is dropped and ONE
+    reference is appended at the end (frame.js:645-684) — not an
+    in-place per-value replacement."""
+    from jsonld_js_ray.core.frame import _remove_embed
+    parent = {"@id": "ex:a",
+              "ex:p": [{"@id": "ex:b", "ex:x": [{"@value": 1}]},
+                       {"@value": "keep"},
+                       {"@id": "ex:b"}]}
+    state = {"uniqueEmbeds": {
+        "ex:b": {"parent": parent, "property": "ex:p"}}}
+    _remove_embed(state, "ex:b")
+    assert parent["ex:p"] == [{"@value": "keep"}, {"@id": "ex:b"}]

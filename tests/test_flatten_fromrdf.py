@@ -142,3 +142,15 @@ def test_native_type_conversion_reference_exact():
     assert one("NaN", "double") == {"@value": "NaN",
                                     "@type": XSD + "double"}
     assert one("1.5E0", "double") == {"@value": 1.5}
+    # JS radix-literal quirk (Number('0x10')=16 makes isNumeric true;
+    # parseInt(.,10)/parseFloat both read the leading "0"): integers
+    # fail the toFixed gate and stay UNTYPED strings, doubles become 0
+    assert one("0x10", "integer") == {"@value": "0x10"}
+    assert one("0x10", "double") == {"@value": 0.0}
+    assert one("0o7", "integer") == {"@value": "0o7"}
+    assert one("0b1", "double") == {"@value": 0.0}
+    # a sign or bad digit makes Number() NaN -> not numeric -> typed
+    assert one("-0x10", "integer") == {"@value": "-0x10",
+                                       "@type": XSD + "integer"}
+    assert one("0xg1", "double") == {"@value": "0xg1",
+                                     "@type": XSD + "double"}
