@@ -29,7 +29,14 @@ def _opts(options: Optional[dict]) -> dict:
     o.setdefault("base", None)
     o.setdefault("processingMode", "json-ld-1.1")
     if "context_resolver" not in o:
-        o["context_resolver"] = ContextResolver(o.get("contexts") or {})
+        # reference option surface (jsonld.js:81-108): ``documentLoader``
+        # is the public hook; ``contextResolver`` overrides wholesale
+        if "contextResolver" in o:
+            o["context_resolver"] = o["contextResolver"]
+        else:
+            o["context_resolver"] = ContextResolver(
+                o.get("contexts") or {},
+                document_loader=o.get("documentLoader"))
     return o
 
 
@@ -61,6 +68,20 @@ def to_nquads(document, options: Optional[dict] = None) -> str:
     return serialize_nquads(to_rdf(document, options))
 
 
+def _canonize_kwargs(options: dict) -> dict:
+    """Surface parity with the reference's nested ``canonizeOptions``
+    (jsonld.js:551-559): messageDigestAlgorithm and maxDeepIterations are
+    read from there, with top-level fallbacks kept for compatibility."""
+    copts = options.get("canonizeOptions") or {}
+    return {
+        "max_deep_iterations": copts.get(
+            "maxDeepIterations", options.get("maxDeepIterations", 2000)),
+        "message_digest_algorithm": copts.get(
+            "messageDigestAlgorithm",
+            options.get("messageDigestAlgorithm", "sha256")),
+    }
+
+
 def canonize(document, options: Optional[dict] = None) -> str:
     """RDFC-1.0 canonical N-Quads (safe mode on by default, matching the
     reference's canonize defaults, jsonld.js:570-575)."""
@@ -70,14 +91,12 @@ def canonize(document, options: Optional[dict] = None) -> str:
         quads = parse_nquads(document)
     else:
         quads = to_rdf(document, options)
-    return _canonize_quads(
-        quads, max_deep_iterations=options.get("maxDeepIterations", 2000))
+    return _canonize_quads(quads, **_canonize_kwargs(options))
 
 
 def canonize_dataset(quads, options: Optional[dict] = None) -> str:
     options = _opts(options)
-    return _canonize_quads(
-        quads, max_deep_iterations=options.get("maxDeepIterations", 2000))
+    return _canonize_quads(quads, **_canonize_kwargs(options))
 
 
 def from_rdf(dataset, options: Optional[dict] = None):

@@ -20,15 +20,36 @@ from .nquads import serialize_quad
 from .to_rdf import OBJ_BNODE, Quad
 
 
+_DIGESTS = {"sha256": hashlib.sha256, "sha384": hashlib.sha384,
+            "sha512": hashlib.sha512}
+
+
+def _digest_fn(name: str):
+    """RDFC-1.0 message digest choice (the spec requires SHA-256 default
+    and SHA-384 support; rdf-canonize also accepts SHA-512 — reference
+    surface lib/jsonld.js:551-559 passes messageDigestAlgorithm through)."""
+    try:
+        return _DIGESTS[name.lower().replace("-", "")]
+    except (KeyError, AttributeError):
+        raise JsonLdError(
+            f"Unsupported message digest algorithm: {name!r}.",
+            "invalid message digest algorithm")
+
+
 class _CanonState:
     __slots__ = ("bnode_to_quads", "hash_to_bnodes", "canonical_issuer",
-                 "work_budget")
+                 "work_budget", "_digest")
 
-    def __init__(self, max_deep_iterations: int):
+    def __init__(self, max_deep_iterations: int,
+                 message_digest_algorithm: str = "sha256"):
         self.bnode_to_quads: dict[str, list[Quad]] = {}
         self.hash_to_bnodes: dict[str, list[str]] = {}
         self.canonical_issuer = IdentifierIssuer("_:c14n")
         self.work_budget = max_deep_iterations
+        self._digest = _digest_fn(message_digest_algorithm)
+
+    def hash(self, s: str) -> str:
+        return self._digest(s.encode("utf-8")).hexdigest()
 
 
 def _quad_bnodes(q: Quad):
@@ -51,14 +72,10 @@ def _serialize_for_hash(q: Quad, ref: str) -> str:
     return serialize_quad((s, p, o_kind, o_value, dt, lang, g)) + "\n"
 
 
-def _sha256(s: str) -> str:
-    return hashlib.sha256(s.encode("utf-8")).hexdigest()
-
-
 def _hash_first_degree(state: _CanonState, bnode: str) -> str:
     nquads = sorted(_serialize_for_hash(q, bnode)
                     for q in state.bnode_to_quads[bnode])
-    return _sha256("".join(nquads))
+    return state.hash("".join(nquads))
 
 
 def _hash_related(state: _CanonState, related: str, quad: Quad,
@@ -76,7 +93,7 @@ def _hash_related(state: _CanonState, related: str, quad: Quad,
     if position != "g":
         inp += "<" + quad[1] + ">"
     inp += ident
-    return _sha256(inp)
+    return state.hash(inp)
 
 
 def _hash_n_degree(state: _CanonState, bnode: str,
@@ -155,13 +172,15 @@ def _hash_n_degree(state: _CanonState, bnode: str,
         if chosen_issuer is not None:
             issuer = chosen_issuer
 
-    return _sha256("".join(data_to_hash)), issuer
+    return state.hash("".join(data_to_hash)), issuer
 
 
 def _compute_mapping(quads: list[Quad],
-                     max_deep_iterations: int | None) -> dict[str, str]:
+                     max_deep_iterations: int | None,
+                     message_digest_algorithm: str = "sha256"
+                     ) -> dict[str, str]:
     """Canonical Issuance (RDFC-1.0 §4.4): input bnode label → c14n label."""
-    state = _CanonState(max_deep_iterations)
+    state = _CanonState(max_deep_iterations, message_digest_algorithm)
     for q in quads:
         for b in _quad_bnodes(q):
             state.bnode_to_quads.setdefault(b, []).append(q)
@@ -197,9 +216,12 @@ def _compute_mapping(quads: list[Quad],
 
 
 def canonize_quads(quads: list[Quad],
-                   max_deep_iterations: int | None = 2000) -> list[Quad]:
+                   max_deep_iterations: int | None = 2000,
+                   message_digest_algorithm: str = "sha256"
+                   ) -> list[Quad]:
     """Return quads relabeled with canonical ``_:c14n<n>`` blank-node ids."""
-    mapping = _compute_mapping(quads, max_deep_iterations)
+    mapping = _compute_mapping(quads, max_deep_iterations,
+                               message_digest_algorithm)
 
     def relabel(q: Quad) -> Quad:
         s, p, o_kind, o_value, dt, lang, g = q
@@ -215,16 +237,20 @@ def canonize_quads(quads: list[Quad],
 
 
 def canonize(quads: list[Quad],
-             max_deep_iterations: int | None = 2000) -> str:
+             max_deep_iterations: int | None = 2000,
+             message_digest_algorithm: str = "sha256") -> str:
     """Canonical N-Quads document: relabel + code-point sort + dedup."""
-    relabeled = canonize_quads(quads, max_deep_iterations)
+    relabeled = canonize_quads(quads, max_deep_iterations,
+                               message_digest_algorithm)
     lines = sorted(set(serialize_quad(q) + "\n" for q in relabeled))
     return "".join(lines)
 
 
 def canonical_id_map(quads: list[Quad],
-                     max_deep_iterations: int | None = 2000) -> dict:
+                     max_deep_iterations: int | None = 2000,
+                     message_digest_algorithm: str = "sha256") -> dict:
     """Expose the issued canonical-label map (input label → c14n label),
     mirroring the reference's ``canonicalIdMap`` option
     (/root/reference/lib/jsonld.js:577-580)."""
-    return _compute_mapping(quads, max_deep_iterations)
+    return _compute_mapping(quads, max_deep_iterations,
+                            message_digest_algorithm)

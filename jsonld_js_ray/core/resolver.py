@@ -58,10 +58,28 @@ class ContextResolver:
             raise JsonLdError(
                 f"Could not dereference context URL (offline): {url!r}",
                 "loading remote context failed")
+        context_url = None
+        if isinstance(doc, dict) and "documentUrl" in doc \
+                and "document" in doc:
+            # RemoteDocument shape from a loader (e.g.
+            # sources.loader.SnapshotDocumentLoader); a Link-discovered
+            # contextUrl is APPENDED to the context for resolution in
+            # turn (reference ContextResolver.js:202-207)
+            context_url = doc.get("contextUrl")
+            url = doc.get("documentUrl") or url
+            doc = doc["document"]
+            if isinstance(doc, str):
+                import json
+                doc = json.loads(doc)
         if isinstance(doc, dict) and "@context" in doc:
             ctx = doc["@context"]
+        elif context_url is not None:
+            ctx = {}
         else:
             ctx = doc
+        if context_url:
+            ctx = ctx if isinstance(ctx, list) else [ctx]
+            ctx = ctx + [context_url]
         return {"context": ctx, "documentUrl": url}
 
     def get_processed(self, key):

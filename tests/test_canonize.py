@@ -104,3 +104,34 @@ def test_nquads_input():
     assert "_:c14n" in out
     lines = out.splitlines()
     assert lines == sorted(lines)
+
+
+def test_message_digest_algorithm():
+    """messageDigestAlgorithm reaches the RDFC-1.0 hash steps: the
+    canonical label order of hash-distinct bnodes follows the sorted
+    FIRST-degree hashes, re-derived here independently per digest."""
+    import hashlib
+
+    quads = [("_:a", "http://e/p", OBJ_LITERAL, "x", None, None, ""),
+             ("_:b", "http://e/p", OBJ_LITERAL, "y", None, None, "")]
+
+    for alg, fn in (("sha256", hashlib.sha256),
+                    ("sha384", hashlib.sha384),
+                    ("sha512", hashlib.sha512)):
+        h_a = fn(b'_:a <http://e/p> "x" .\n').hexdigest()
+        h_b = fn(b'_:a <http://e/p> "y" .\n').hexdigest()
+        first = "_:a" if h_a < h_b else "_:b"
+        m = canonical_id_map(quads, message_digest_algorithm=alg)
+        assert m[first] == "_:c14n0", alg
+    # default is sha256
+    assert canonical_id_map(quads) == canonical_id_map(
+        quads, message_digest_algorithm="sha256")
+    # the reference's nested canonizeOptions surface
+    doc = '_:a <http://e/p> "x" .\n_:b <http://e/p> "y" .\n'
+    out384 = api.canonize(doc, {
+        "inputFormat": "application/n-quads",
+        "canonizeOptions": {"messageDigestAlgorithm": "SHA-384"}})
+    out256 = api.canonize(doc, {"inputFormat": "application/n-quads"})
+    assert sorted(out384.splitlines()) != [] and out256 != ""
+    with pytest.raises(JsonLdError):
+        canonical_id_map(quads, message_digest_algorithm="md5-ish")
