@@ -406,8 +406,9 @@ def compact(active_ctx: ActiveContext, active_property: Optional[str],
         if not is_value(element) and not is_subject_reference(element):
             active_ctx = active_ctx.previous_context
 
-    # property-scoped context
-    if td0.get("@context") is not None:
+    # property-scoped context (presence matters: "@context": null
+    # nullifies rather than being skipped)
+    if "@context" in td0:
         active_ctx = process_context(active_ctx, td0["@context"], options,
                                      override_protected=True)
         td0 = active_ctx.mappings.get(active_property) or {}
@@ -446,7 +447,7 @@ def compact(active_ctx: ActiveContext, active_property: Optional[str],
             for t in element["@type"])
         for ct in compacted_types:
             td = active_ctx.mappings.get(ct)
-            if td and td.get("@context") is not None:
+            if td and "@context" in td:
                 active_ctx = process_context(active_ctx, td["@context"],
                                              options, propagate=False)
 

@@ -458,19 +458,14 @@ def create_term_definition(active_ctx: ActiveContext, local_ctx: dict,
 
     value = local_ctx[term]
 
-    if term == "@type":
-        # 1.1 allows redefining @type with @container:@set / @protected
-        if not _ctx_1_1(active_ctx):
-            raise JsonLdError("Keywords cannot be overridden.",
-                              "keyword redefinition")
-        if not isinstance(value, dict):
-            raise JsonLdError("Invalid @type redefinition.",
-                              "keyword redefinition")
-        for k, v in value.items():
-            if k == "@container" and v == "@set":
-                continue
-            if k == "@protected":
-                continue
+    if (term == "@type" and isinstance(value, dict)
+            and value.get("@container", "@set") == "@set"
+            and _ctx_1_1(active_ctx)):
+        # 1.1 allows redefining @type; the reference accepts exactly the
+        # keys @container/@id/@protected here (context.js:494-506) — any
+        # other shape falls through to the keyword-redefinition error
+        valid_keys = {"@container", "@id", "@protected"}
+        if not value or any(k not in valid_keys for k in value):
             raise JsonLdError("Invalid @type redefinition.",
                               "keyword redefinition")
     elif is_keyword(term):
@@ -651,8 +646,12 @@ def create_term_definition(active_ctx: ActiveContext, local_ctx: dict,
                 "reverse term @container must be @index or @set.",
                 "invalid reverse property")
         mapping["@container"] = container
-        if "@type" in mapping:
-            if "@type" in cset and mapping["@type"] not in ("@id", "@vocab"):
+        if "@type" in cset:
+            # spec §4.2.2: @container:@type implies @type:@id (so bare
+            # strings in a type map expand to node references); an
+            # explicit type mapping must be @id or @vocab
+            mapping.setdefault("@type", "@id")
+            if mapping["@type"] not in ("@id", "@vocab"):
                 raise JsonLdError(
                     "@container:@type requires @type of @id or @vocab.",
                     "invalid type mapping")

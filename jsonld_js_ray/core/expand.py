@@ -40,7 +40,11 @@ def expand(active_ctx: ActiveContext, active_property: Optional[str],
 
     term_def = (active_ctx.mappings.get(active_property)
                 if active_property else None)
-    property_scoped_ctx = term_def.get("@context") if term_def else None
+    # presence matters: a stored ``"@context": null`` scoped context must
+    # APPLY (nullify, with override_protected) rather than be skipped
+    has_property_scoped_ctx = bool(term_def) and "@context" in term_def
+    property_scoped_ctx = (term_def.get("@context")
+                           if has_property_scoped_ctx else None)
 
     # --- scalars -----------------------------------------------------------
     if is_scalar(element):
@@ -48,7 +52,7 @@ def expand(active_ctx: ActiveContext, active_property: Optional[str],
             emit_event(options, "free-floating scalar",
                        "Dropping free-floating scalar during expansion.")
             return None
-        if property_scoped_ctx is not None:
+        if has_property_scoped_ctx:
             # property-scoped contexts may redefine protected terms
             # (reference expand.js:847-858 uses overrideProtected: true),
             # same as the map branch below
@@ -90,7 +94,7 @@ def expand(active_ctx: ActiveContext, active_property: Optional[str],
             active_ctx = active_ctx.previous_context
 
     # 8) property-scoped context (override protected)
-    if property_scoped_ctx is not None:
+    if has_property_scoped_ctx:
         active_ctx = process_context(
             active_ctx, property_scoped_ctx, options,
             override_protected=True)
@@ -111,7 +115,7 @@ def expand(active_ctx: ActiveContext, active_property: Optional[str],
             values = values if isinstance(values, list) else [values]
             for t in sorted(v for v in values if isinstance(v, str)):
                 tdef = type_scoped_ctx.mappings.get(t)
-                if tdef and tdef.get("@context") is not None:
+                if tdef and "@context" in tdef:
                     active_ctx = process_context(
                         active_ctx, tdef["@context"], options,
                         propagate=False)
@@ -578,7 +582,7 @@ def _expand_index_map(active_ctx, key, value, term_def, container, options):
         if "@id" in container or "@type" in container:
             idx_def = active_ctx.mappings.get(idx)
             if ("@type" in container and idx_def
-                    and idx_def.get("@context") is not None):
+                    and "@context" in idx_def):
                 map_ctx = process_context(active_ctx, idx_def["@context"],
                                           options, propagate=False)
         if not isinstance(items, list):

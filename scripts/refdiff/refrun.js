@@ -1,0 +1,69 @@
+'use strict';
+// Differential oracle driver: run reference jsonld.js operations on a
+// JSON request (or array of requests) from stdin; print one JSON line
+// per request: {"result": ...} or {"errorCode": ...}.
+//
+// Request: {op, input, context, frame, options, contexts}
+//   op: expand|compact|flatten|frame|toRDF|fromRDF
+//   contexts: {url: document} snapshot backing the documentLoader
+//
+// The reference is loaded from /root/reference (read-only); the three
+// missing npm deps are satisfied by the minimal shims in ./node_modules
+// (lru-cache map stand-in, rdf-canonize IdentifierIssuer + N-Quads,
+// JCS canonicalize) — all original code, no network.
+const jsonld = require('/root/reference/lib/index.js');
+
+async function run(req) {
+  const options = Object.assign({}, req.options || {});
+  const snapshot = req.contexts || {};
+  options.documentLoader = async url => {
+    if (url in snapshot) {
+      return {contextUrl: null, documentUrl: url, document: snapshot[url]};
+    }
+    throw new jsonld.JsonLdError(
+      'URL could not be dereferenced: ' + url,
+      'jsonld.LoadDocumentError', {code: 'loading document failed'});
+  };
+  try {
+    let result;
+    switch (req.op) {
+      case 'expand': result = await jsonld.expand(req.input, options); break;
+      case 'compact':
+        result = await jsonld.compact(req.input, req.context, options); break;
+      case 'flatten':
+        result = await jsonld.flatten(req.input, req.context !== undefined ? req.context : null, options);
+        break;
+      case 'frame':
+        result = await jsonld.frame(req.input, req.frame, options); break;
+      case 'toRDF': {
+        options.format = 'application/n-quads';
+        result = await jsonld.toRDF(req.input, options); break;
+      }
+      case 'fromRDF': {
+        const NQuads = require('rdf-canonize').NQuads;
+        result = await jsonld.fromRDF(NQuads.parse(req.input), options);
+        break;
+      }
+      default: throw new Error('unknown op ' + req.op);
+    }
+    return {result};
+  } catch (e) {
+    let code = null;
+    let cur = e;
+    while (cur) {
+      if (cur.details && cur.details.code) { code = cur.details.code; break; }
+      cur = cur.details && cur.details.cause;
+    }
+    return {errorCode: code || String(e.message)};
+  }
+}
+
+let chunks = [];
+process.stdin.on('data', c => chunks.push(c));
+process.stdin.on('end', async () => {
+  const parsed = JSON.parse(Buffer.concat(chunks).toString('utf8'));
+  const reqs = Array.isArray(parsed) ? parsed : [parsed];
+  for (const req of reqs) {
+    process.stdout.write(JSON.stringify(await run(req)) + '\n');
+  }
+});

@@ -95,6 +95,9 @@ def _options_for(suite_dir, entry):
                 "pruneBlankNodeIdentifiers", "maxDeepIterations"):
         if key in opt:
             options[key] = opt[key]
+    if "contexts" in entry:
+        # remote-context snapshot backing the offline resolver
+        options["contexts"] = _read_json(suite_dir, entry["contexts"])
     return options
 
 
