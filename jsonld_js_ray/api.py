@@ -164,7 +164,16 @@ def link(document, ctx=None, options: Optional[dict] = None):
 
 def compact(document, ctx, options: Optional[dict] = None):
     from .core.compact import compact_document
+    from .core.errors import JsonLdError
+    if ctx is None:
+        # reference jsonld.js:136-140
+        raise JsonLdError("The compaction context must not be null.",
+                          "invalid local context")
     options = _opts(options)
+    if options.get("compactToRelative") is False:
+        # reference drops base entirely before expand+compact
+        # (jsonld.js:164-165), keeping IRIs absolute
+        options["base"] = None
     expanded = expand_document(document, options)
     return compact_document(expanded, ctx, options)
 

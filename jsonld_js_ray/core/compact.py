@@ -657,26 +657,27 @@ def compact(active_ctx: ActiveContext, active_property: Optional[str],
                                         {"@id": expanded_item["@id"]},
                                         options)
                     else:
-                        # property-based index
-                        prop_iri = expand_iri(active_ctx, idx_key,
-                                              vocab_mode=True,
-                                              options=options)
+                        # property-based index: the RAW term-definition
+                        # @index value is used as the key into the
+                        # compacted item (reference compact.js:566-583 —
+                        # so an IRI-form @index that compacts to a term
+                        # misses and falls back to @none, quirk included)
                         key = None
                         if isinstance(compacted_item, dict):
-                            ck = compact_iri(active_ctx, prop_iri,
-                                             relative_to_vocab=True)
-                            kv = compacted_item.get(ck)
-                            if isinstance(kv, list) and kv:
-                                key = kv[0]
-                                rest = kv[1:]
-                                if rest:
-                                    compacted_item[ck] = rest \
-                                        if len(rest) > 1 else rest[0]
+                            kv = compacted_item.get(idx_key)
+                            kvl = (kv if isinstance(kv, list)
+                                   else [] if kv is None else [kv])
+                            key = kvl[0] if kvl else None
+                            if not isinstance(key, str):
+                                key = None  # @none; value left in place
+                            else:
+                                others = kvl[1:]
+                                if not others:
+                                    compacted_item.pop(idx_key, None)
+                                elif len(others) == 1:
+                                    compacted_item[idx_key] = others[0]
                                 else:
-                                    compacted_item.pop(ck, None)
-                            elif isinstance(kv, str):
-                                key = kv
-                                compacted_item.pop(ck, None)
+                                    compacted_item[idx_key] = others
                 elif "@id" in container:
                     id_alias = compact_iri(active_ctx, "@id",
                                            relative_to_vocab=True)

@@ -115,9 +115,11 @@ def _run_positive(suite_dir, entry, options):
         return api.expand(doc, options)
     if "jld:CompactTest" in types:
         doc = _read_json(suite_dir, inp)
-        ctx = _read_json(suite_dir, entry["context"])
-        if isinstance(ctx, dict) and "@context" in ctx:
-            ctx = ctx["@context"]
+        ctx = None  # absent context file = null context (negative case)
+        if "context" in entry:
+            ctx = _read_json(suite_dir, entry["context"])
+            if isinstance(ctx, dict) and "@context" in ctx:
+                ctx = ctx["@context"]
         return api.compact(doc, ctx, options)
     if "jld:FlattenTest" in types:
         doc = _read_json(suite_dir, inp)
