@@ -14,11 +14,12 @@ import copy
 from typing import Any
 
 from .compact import compact_document
-from .context import initial_context, process_context
+from .context import expand_iri, initial_context, process_context
 from .errors import JsonLdError
 from .expand import expand_document
 from .keywords import is_keyword, is_list, is_value
-from .node_map import IdentifierIssuer, create_node_map, merge_node_maps
+from .node_map import (IdentifierIssuer, create_node_map,
+                       merge_node_map_graphs)
 
 
 def frame_document(document, frame_doc, options: dict):
@@ -40,27 +41,32 @@ def frame_document(document, frame_doc, options: dict):
         else {}
     expanded_frame = expand_document(frame_doc, frame_opts)
 
+    # if the unexpanded frame includes a key expanding to @graph, frame
+    # the default graph, otherwise the merged graph
+    # (cf. reference jsonld.js:474-479)
+    active_ctx = process_context(initial_context(options), frame_ctx, options)
+    frame_keys = [expand_iri(active_ctx, k, vocab_mode=True)
+                  for k in (frame_doc.keys()
+                            if isinstance(frame_doc, dict) else [])]
+    merged = "@graph" not in frame_keys
+
     issuer = IdentifierIssuer("_:b")
     graph_map: dict[str, Any] = {"@default": {}}
     create_node_map(expanded, graph_map, "@default", issuer)
-    merged = merge_node_maps({k: dict(v) for k, v in graph_map.items()})
-    # framing operates over the merged node map by default
-    merged_map = {"@merged": {}}
-    merged_issuer = IdentifierIssuer("_:b")
-    create_node_map(expanded, merged_map, "@merged", merged_issuer)
+    if merged:
+        graph_map["@merged"] = merge_node_map_graphs(graph_map)
 
     state = {
         "options": options,
-        "graph": "@merged",
-        "graphMap": {"@merged": merged_map["@merged"],
-                     **{k: v for k, v in graph_map.items()}},
+        "graph": "@merged" if merged else "@default",
+        "graphMap": graph_map,
         "subjectStack": [],
         "link": {},
         "bnodeMap": {},
     }
 
     results: list = []
-    _match_frame(state, sorted(state["graphMap"]["@merged"].keys()),
+    _match_frame(state, sorted(state["graphMap"][state["graph"]].keys()),
                  expanded_frame, results, None)
 
     # prune blank node identifiers used only once
@@ -244,6 +250,8 @@ def _match_frame(state, subjects, frame, parent, active_property,
     explicit = _get_frame_flag(frame_obj, options, "explicit")
 
     graph = state["graphMap"][state["graph"]]
+    # link map is per graph (cf. reference frame.js:89-93)
+    link = state["link"].setdefault(state["graph"], {})
     matched = {}
     for sid in subjects:
         subject = graph.get(sid)
@@ -256,17 +264,20 @@ def _match_frame(state, subjects, frame, parent, active_property,
         subject = matched[sid]
         if active_property is None:
             # each top-level match is a compartmentalized result
-            state["uniqueEmbeds"] = {}
-        unique_embeds = state.setdefault("uniqueEmbeds", {})
+            state["uniqueEmbeds"] = {state["graph"]: {}}
+        else:
+            state.setdefault("uniqueEmbeds", {}).setdefault(
+                state["graph"], {})
+        unique_embeds = state["uniqueEmbeds"][state["graph"]]
 
-        if embed == "@link" and sid in state["link"]:
-            _add_frame_output(parent, active_property, state["link"][sid])
+        if embed == "@link" and sid in link:
+            _add_frame_output(parent, active_property, link[sid])
             continue
 
         output: dict[str, Any] = {"@id": sid}
         if sid.startswith("_:"):
             state["bnodeMap"].setdefault(sid, []).append(output)
-        state["link"][sid] = output
+        link[sid] = output
 
         # @first/@last are JSON-LD 1.0 embed modes; invalid in 1.1
         # (cf. reference frame.js:130-135)
@@ -278,7 +289,8 @@ def _match_frame(state, subjects, frame, parent, active_property,
         if not embedded and sid in unique_embeds:
             # already embedded inside another top-level node
             continue
-        on_stack = any(s == sid for s, _ in state["subjectStack"])
+        on_stack = any(s == sid and g == state["graph"]
+                       for s, g in state["subjectStack"])
         if embedded and (embed == "@never" or on_stack):
             _add_frame_output(parent, active_property, output)
             continue
@@ -292,7 +304,27 @@ def _match_frame(state, subjects, frame, parent, active_property,
             _remove_embed(state, sid)
         unique_embeds[sid] = {"parent": parent,
                               "property": active_property}
-        state["subjectStack"].append((sid, subject))
+        state["subjectStack"].append((sid, state["graph"]))
+
+        # subject is also the name of a graph (cf. frame.js:174-193)
+        if sid in state["graphMap"]:
+            if "@graph" not in frame_obj:
+                recurse = state["graph"] != "@merged"
+                subframe: Any = {}
+            else:
+                subframe = frame_obj["@graph"]
+                if isinstance(subframe, list):
+                    subframe = subframe[0] if subframe else {}
+                if not isinstance(subframe, dict):
+                    subframe = {}
+                recurse = sid not in ("@merged", "@default")
+            if recurse:
+                sub_state = dict(state)
+                sub_state["graph"] = sid
+                _match_frame(
+                    sub_state,
+                    sorted(state["graphMap"][sid].keys()),
+                    [subframe], output, "@graph", embedded=False)
 
         for prop in sorted(subject.keys()):
             objects = subject[prop]
@@ -402,7 +434,7 @@ def _remove_embed(state, sid):
     """Replace a previously embedded node with a node reference and drop
     dependent dangling embeds (cf. reference frame.js:645-684; used by
     the 1.0 ``@embed: @last`` mode)."""
-    embeds = state["uniqueEmbeds"]
+    embeds = state["uniqueEmbeds"][state["graph"]]
     embed = embeds[sid]
     parent, prop = embed["parent"], embed["property"]
     subject_ref = {"@id": sid}

@@ -187,6 +187,26 @@ def create_node_map(element, graph_map: dict, active_graph: str,
                         prop)
 
 
+def merge_node_map_graphs(graph_map: dict) -> dict:
+    """Merge every graph's subjects into one flat node map (used for
+    framing the @merged graph; cf. reference nodeMap.js:233-260): node
+    properties are unioned across graphs with duplicate suppression,
+    keywords other than @type copied."""
+    import copy as _copy
+    merged: dict = {}
+    for name in sorted(graph_map.keys()):
+        for node_id in sorted(graph_map[name].keys()):
+            node = graph_map[name][node_id]
+            merged_node = merged.setdefault(node_id, {"@id": node_id})
+            for prop in sorted(node.keys()):
+                if is_keyword(prop) and prop != "@type":
+                    merged_node[prop] = _copy.deepcopy(node[prop])
+                else:
+                    for value in node[prop]:
+                        add_value(merged_node, prop, _copy.deepcopy(value))
+    return merged
+
+
 def merge_node_maps(graph_map: dict) -> dict:
     """Merge Node Maps (spec §7.4.4; cf. reference nodeMap.js:262-290):
     fold named graphs into the default graph."""

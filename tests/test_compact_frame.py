@@ -184,7 +184,7 @@ def test_remove_embed_collapses_matching_references():
               "ex:p": [{"@id": "ex:b", "ex:x": [{"@value": 1}]},
                        {"@value": "keep"},
                        {"@id": "ex:b"}]}
-    state = {"uniqueEmbeds": {
-        "ex:b": {"parent": parent, "property": "ex:p"}}}
+    state = {"graph": "@merged", "uniqueEmbeds": {"@merged": {
+        "ex:b": {"parent": parent, "property": "ex:p"}}}}
     _remove_embed(state, "ex:b")
     assert parent["ex:p"] == [{"@value": "keep"}, {"@id": "ex:b"}]
