@@ -98,34 +98,47 @@ def _graph_to_rdf(quads, node_map, graph_term, issuer, options):
                         quads.append((subject_id, predicate, head[0],
                                       head[1], head[2], head[3], graph_term))
                 else:
-                    obj = _object_to_rdf(item, options)
+                    obj = _object_to_rdf(item, options, issuer=issuer,
+                                         quads=quads, graph_term=graph_term)
                     if obj is not None:
                         quads.append((subject_id, predicate, obj[0], obj[1],
                                       obj[2], obj[3], graph_term))
 
 
 def _list_to_rdf(quads, items, issuer, graph_term, options):
-    """@list → rdf:first/rest/nil chain (cf. reference toRdf.js:211-262).
+    """@list → rdf:first/rest/nil chain (cf. reference toRdf.js:211-262):
+    the head blank node is issued BEFORE the chain is walked (so labels
+    match the reference exactly) and nested @list items recurse through
+    _object_to_rdf, yielding a sub-chain whose head becomes the item.
 
     Returns the head object tuple (kind, value, datatype, language)."""
-    head = (OBJ_IRI, RDF_NIL, None, None)
-    # build backwards so each node links to the next
-    converted = []
+    items = list(items)
+    last = items.pop() if items else None
+    if last is None:
+        return (OBJ_IRI, RDF_NIL, None, None)
+    result = (OBJ_BNODE, issuer.get_id(), None, None)
+    subject = result[1]
     for item in items:
-        obj = _object_to_rdf(item, options)
+        obj = _object_to_rdf(item, options, issuer=issuer, quads=quads,
+                             graph_term=graph_term)
+        nxt = issuer.get_id()
         if obj is not None:
-            converted.append(obj)
-    for obj in reversed(converted):
-        bnode = issuer.get_id()
-        quads.append((bnode, RDF_FIRST, obj[0], obj[1], obj[2], obj[3],
+            quads.append((subject, RDF_FIRST, obj[0], obj[1], obj[2],
+                          obj[3], graph_term))
+        quads.append((subject, RDF_REST, OBJ_BNODE, nxt, None, None,
                       graph_term))
-        quads.append((bnode, RDF_REST, head[0], head[1], head[2], head[3],
+        subject = nxt
+    obj = _object_to_rdf(last, options, issuer=issuer, quads=quads,
+                         graph_term=graph_term)
+    if obj is not None:
+        quads.append((subject, RDF_FIRST, obj[0], obj[1], obj[2], obj[3],
                       graph_term))
-        head = (OBJ_BNODE, bnode, None, None)
-    return head
+    quads.append((subject, RDF_REST, OBJ_IRI, RDF_NIL, None, None,
+                  graph_term))
+    return result
 
 
-def _object_to_rdf(item, options):
+def _object_to_rdf(item, options, issuer=None, quads=None, graph_term=None):
     """Value/node → object term (cf. reference toRdf.js:276-401).
 
     Returns (kind, value, datatype, language) or None (dropped)."""
@@ -140,6 +153,12 @@ def _object_to_rdf(item, options):
                        f"Dropping relative object reference {oid!r}.")
             return None
         return (OBJ_IRI, oid, None, None)
+
+    # nested @list becomes a sub-chain; its head is the object
+    # (cf. reference toRdf.js:369-375)
+    if is_list(item) and issuer is not None:
+        return _list_to_rdf(quads, item["@list"], issuer, graph_term,
+                            options)
 
     if not is_value(item):
         return None
