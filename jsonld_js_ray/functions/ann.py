@@ -187,15 +187,20 @@ def _pair_tile_kernel(n_blocks: int, threshold: float):
                           "cosine": pd.Series([], dtype="float64")})
 
     def per_tile(g: pd.DataFrame) -> pd.DataFrame:
+        # normalize rows FIRST (n·d work) instead of dividing the n×n
+        # dot matrix by an outer-product of norms: same cosine to ~1e-15
+        # (rounded to 1e-6 downstream) with two fewer n² temporaries —
+        # large fresh allocations are where this host's memory-compaction
+        # stalls land, and at scale it is strictly less work
         i, j = divmod(int(g["pair_key"].iloc[0]), B)
         if i == j:
             ids = g["vec_id"].to_numpy(dtype=np.int64)
             M = _matrix(g)
-            dots = M @ M.T
-            norms = np.linalg.norm(M, axis=1)
-            sims = dots / np.outer(norms, norms)
-            keep = (sims >= threshold) & (ids[:, None] < ids[None, :])
-            ia, ib = np.nonzero(keep)
+            M = M / np.linalg.norm(M, axis=1, keepdims=True)
+            sims = M @ M.T
+            ia, ib = np.nonzero(sims >= threshold)
+            m = ids[ia] < ids[ib]
+            ia, ib = ia[m], ib[m]
             a, b = ids[ia], ids[ib]
         else:
             left = g["blk"].to_numpy() == i
@@ -205,8 +210,9 @@ def _pair_tile_kernel(n_blocks: int, threshold: float):
             ida = gi["vec_id"].to_numpy(dtype=np.int64)
             idb = gj["vec_id"].to_numpy(dtype=np.int64)
             A, Bm = _matrix(gi), _matrix(gj)
-            sims = (A @ Bm.T) / np.outer(np.linalg.norm(A, axis=1),
-                                         np.linalg.norm(Bm, axis=1))
+            A = A / np.linalg.norm(A, axis=1, keepdims=True)
+            Bm = Bm / np.linalg.norm(Bm, axis=1, keepdims=True)
+            sims = A @ Bm.T
             ia, ib = np.nonzero(sims >= threshold)
             # blocks are vec_id % B, so orient each cross pair a < b
             a = np.minimum(ida[ia], idb[ib])
@@ -234,9 +240,24 @@ def embedding_cosine_pairs(embeddings_ds, threshold: float = 0.35,
     exact all-pairs join (shuffle volume n·B scales with it); the scale
     path that trades recall for sub-quadratic cost is the LSH/IVF
     bucketing in lsh_topk / ivf_topk."""
-    ds = embeddings_ds.select_columns(["vec_id", "embedding"])
     if n_blocks is None:
-        n_blocks = max(1, -(-ds.count() // target_block_rows))
+        # count BEFORE projecting: on a fresh read_parquet this is the
+        # parquet-metadata fast path (no data read); a Project op in
+        # between would force a full execution pass just to size blocks
+        n_blocks = max(1, -(-embeddings_ds.count() // target_block_rows))
+    ds = embeddings_ds.select_columns(["vec_id", "embedding"])
+    if n_blocks == 1:
+        # the whole corpus is one tile: a coalesce replaces the sort
+        # shuffle (same kernel, same output; the groupby below would
+        # spend seconds of fixed all-to-all overhead to co-locate a
+        # single group)
+        kern = _pair_tile_kernel(1, threshold)
+
+        def single_tile(df: pd.DataFrame) -> pd.DataFrame:
+            return kern(df.assign(pair_key=0, blk=0))
+
+        return ds.repartition(1).map_batches(
+            single_tile, batch_format="pandas", batch_size=None)
     tiled = ds.map_batches(_pair_explode(n_blocks), batch_format="pyarrow",
                            num_cpus=1)
     return tiled.groupby("pair_key").map_groups(

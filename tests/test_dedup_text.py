@@ -145,6 +145,14 @@ def test_embedding_cosine_pairs(ray_session):
     assert got == expect
     assert (out.vec_a < out.vec_b).all()
 
+    # the multi-tile groupby path (n_blocks > 1) must emit the exact
+    # same pair set as the single-tile coalesce fast path
+    tiled = embedding_cosine_pairs(ds, threshold=0.9, n_blocks=3
+                                   ).to_pandas()
+    key = ["vec_a", "vec_b", "cosine"]
+    assert (tiled[key].sort_values(key).reset_index(drop=True)
+            .equals(out[key].sort_values(key).reset_index(drop=True)))
+
 
 # ---------------------------------------------------------------------------
 # python-reference oracles for simhash / fingerprint (independent
