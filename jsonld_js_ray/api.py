@@ -184,7 +184,37 @@ def frame(document, frame_doc, options: Optional[dict] = None):
     return frame_document(document, frame_doc, options)
 
 
+class JsonLdProcessor:
+    """WebIDL JsonLdProcessor facade (cf. reference
+    lib/JsonLdProcessor.js:6-52): static expand/compact/flatten with the
+    interface's required-argument arity checks; `str()` mirrors the
+    JS toString tag. Functional semantics live in this module's
+    free functions."""
+
+    def __str__(self):  # pragma: no cover - trivial
+        return "[object JsonLdProcessor]"
+
+    @staticmethod
+    def expand(*args):
+        if len(args) < 1:
+            raise TypeError("Could not expand, too few arguments.")
+        return expand(args[0])
+
+    @staticmethod
+    def compact(*args):
+        if len(args) < 2:
+            raise TypeError("Could not compact, too few arguments.")
+        return compact(args[0], args[1])
+
+    @staticmethod
+    def flatten(*args):
+        if len(args) < 1:
+            raise TypeError("Could not flatten, too few arguments.")
+        return flatten(args[0])
+
+
 __all__ = [
+    "JsonLdProcessor",
     "expand", "flatten", "to_rdf", "to_nquads", "canonize",
     "canonize_dataset", "canonize_quads", "canonical_id_map", "from_rdf",
     "compact", "frame", "parse_nquads", "serialize_nquads",

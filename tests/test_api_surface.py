@@ -238,3 +238,26 @@ def test_audio_chunker_plumbing(ray_session):
         assert list(grp["start_ms"]) == [i * 5000
                                          for i in range(expect_chunks)]
         assert b"".join(grp["chunk"]) == row["payload"]
+
+
+def test_jsonld_processor_facade():
+    """WebIDL facade parity (reference JsonLdProcessor.js:6-52): static
+    methods delegate to the functional API; arity below the interface's
+    required parameter count raises TypeError."""
+    import pytest
+    from jsonld_js_ray.api import JsonLdProcessor
+    doc = {"@context": {"v": "http://example.com/v"}, "v": 1}
+    assert JsonLdProcessor.expand(doc) == [
+        {"http://example.com/v": [{"@value": 1}]}]
+    out = JsonLdProcessor.compact(
+        [{"http://example.com/v": [{"@value": 1}]}],
+        {"v": "http://example.com/v"})
+    assert out == {"@context": {"v": "http://example.com/v"}, "v": 1}
+    assert JsonLdProcessor.flatten(doc)
+    with pytest.raises(TypeError):
+        JsonLdProcessor.expand()
+    with pytest.raises(TypeError):
+        JsonLdProcessor.compact(doc)
+    with pytest.raises(TypeError):
+        JsonLdProcessor.flatten()
+    assert str(JsonLdProcessor()) == "[object JsonLdProcessor]"
