@@ -499,6 +499,19 @@ def create_term_definition(active_ctx: ActiveContext, local_ctx: dict,
                                "_prefix": False,
                                "_term_has_colon": ":" in term[1:]}
 
+    # a term definition may only contain the expected keywords; the 1.1
+    # additions are invalid in 1.0 mode (cf. reference context.js:566-581)
+    _term_valid_keys = {"@container", "@id", "@language", "@reverse",
+                        "@type"}
+    if _ctx_1_1(active_ctx):
+        _term_valid_keys |= {"@context", "@direction", "@index", "@nest",
+                             "@prefix", "@protected"}
+    for _kw in value:
+        if _kw not in _term_valid_keys:
+            raise JsonLdError(
+                f"A term definition must not contain {_kw}.",
+                "invalid term definition")
+
     if "@protected" in value:
         if not _ctx_1_1(active_ctx):
             raise JsonLdError("@protected requires JSON-LD 1.1.",

@@ -86,8 +86,11 @@ def _options_for(suite_dir, entry):
     if "processingMode" in opt:
         options["processingMode"] = opt["processingMode"]
     if "expandContext" in opt:
-        options["expandContext"] = _read_json(suite_dir,
-                                              opt["expandContext"])
+        # official manifests reference a fixture file; differential
+        # fixtures may carry the context inline
+        ec = opt["expandContext"]
+        options["expandContext"] = (_read_json(suite_dir, ec)
+                                    if isinstance(ec, str) else ec)
     for key in ("rdfDirection", "useNativeTypes", "useRdfType",
                 "produceGeneralizedRdf", "compactArrays",
                 "compactToRelative", "omitGraph", "processingMode",
