@@ -247,16 +247,21 @@ def process_context(active_ctx: ActiveContext, local_ctx, options: dict,
             resolver = options.get("context_resolver")
             base_iri = options.get("_context_base", options.get("base"))
             url = prepend_base(base_iri, ctx)
+            # cycle/overflow codes are mode-dependent (reference
+            # ContextResolver.js:133-157): 1.0 keeps the legacy codes,
+            # 1.1 reports 'context overflow' for both
+            _is10 = (getattr(result, "processing_mode", None)
+                     or options.get("processingMode")) == "json-ld-1.0"
             if url in remote_contexts:
                 raise JsonLdError(
                     f"Cyclical @context URLs detected: {url}",
-                    "recursive context inclusion")
+                    "recursive context inclusion" if _is10
+                    else "context overflow")
             if len(remote_contexts) >= 10:
-                # MAX_CONTEXT_URLS analog; spec error code is "context
-                # overflow" (cf. reference ContextResolver.js:133-141)
                 raise JsonLdError(
                     "Maximum number of @context URLs exceeded.",
-                    "context overflow")
+                    "loading remote context failed" if _is10
+                    else "context overflow")
             if resolver is None:
                 raise JsonLdError(
                     f"No context resolver configured; cannot dereference "

@@ -330,10 +330,18 @@ def _expand_object(active_ctx, active_property, element, result, nests,
             # node-object validation below
             inc = expand(active_ctx, active_property, value, options)
             if not isinstance(inc, list):
-                inc = [inc] if inc is not None else []
+                # a dropped (None) result must STAY in the array so the
+                # node-object validation below rejects it — the reference
+                # wraps the raw expand result (expand.js:667-680), so a
+                # free-floating @value dropped to null fails _isSubject
+                inc = [inc]
             for node in inc:
-                if not isinstance(node, dict) or "@value" in node \
-                        or "@list" in node:
+                # exact _isSubject test (reference graphTypes.js:18-29):
+                # an object that is not @value/@list/@set and has more
+                # than one key or no @id (a bare node reference fails)
+                if (not isinstance(node, dict) or "@value" in node
+                        or "@list" in node or "@set" in node
+                        or (len(node) == 1 and "@id" in node)):
                     raise JsonLdError(
                         "@included values must be node objects.",
                         "invalid @included value")

@@ -71,12 +71,18 @@ class ContextResolver:
             if isinstance(doc, str):
                 import json
                 doc = json.loads(doc)
-        if isinstance(doc, dict) and "@context" in doc:
+        if not isinstance(doc, dict):
+            # a remote context document must be a JSON object
+            # (cf. reference ContextResolver.js:186-192)
+            raise JsonLdError(
+                f"Dereferencing {url!r} did not result in a JSON object.",
+                "invalid remote context")
+        if "@context" in doc:
             ctx = doc["@context"]
-        elif context_url is not None:
-            ctx = {}
         else:
-            ctx = doc
+            # no @context member: use the empty context
+            # (cf. reference ContextResolver.js:194-196)
+            ctx = {}
         if context_url:
             ctx = ctx if isinstance(ctx, list) else [ctx]
             ctx = ctx + [context_url]

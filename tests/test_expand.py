@@ -246,9 +246,15 @@ def test_chained_remote_context():
 def test_cyclic_remote_context_error():
     snapshot = {"https://c/a": {"@context": "https://c/b"},
                 "https://c/b": {"@context": "https://c/a"}}
+    # cycle code is mode-dependent (reference ContextResolver.js:147-157)
     with pytest.raises(JsonLdError) as e:
         api.expand({"@context": "https://c/a", "http://p": 1},
                    {"contexts": snapshot})
+    assert e.value.code == "context overflow"
+    with pytest.raises(JsonLdError) as e:
+        api.expand({"@context": "https://c/a", "http://p": 1},
+                   {"contexts": snapshot,
+                    "processingMode": "json-ld-1.0"})
     assert e.value.code == "recursive context inclusion"
 
 
