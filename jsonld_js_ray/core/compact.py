@@ -312,7 +312,9 @@ def compact_value(active_ctx, active_property, value, options):
         container = td.get("@container") or []
         preserve_index = "@index" in value and "@index" not in container
 
-        if not preserve_index:
+        # a term typed @type: @none never collapses values
+        # (cf. reference compact.js:968, :996-999)
+        if not preserve_index and type_mapping != "@none":
             if type_mapping in ("@id", "@vocab") and "@id" in value:
                 pass  # handled by node-reference path
             if value.get("@type") == type_mapping and "@type" in value:
@@ -331,7 +333,8 @@ def compact_value(active_ctx, active_property, value, options):
                 if direction == eff_dir and "@type" not in value:
                     return value["@value"]
         if (language is None and direction is None
-                and "@type" not in value and not preserve_index):
+                and "@type" not in value and not preserve_index
+                and type_mapping != "@none"):
             v = value["@value"]
             if not isinstance(v, str):
                 return v

@@ -410,10 +410,16 @@ def _expand_object(active_ctx, active_property, element, result, nests,
                 for prop, items in expanded["@reverse"].items():
                     result.setdefault(prop, []).extend(items)
             if isinstance(expanded, dict):
-                reverse_map = result.setdefault("@reverse", {})
+                # create the reverse map LAZILY: a map whose entries all
+                # flipped back to forward properties (reverse term inside
+                # @reverse) must not leave an empty "@reverse": {} behind
+                # (cf. reference expand.js reverse handling)
+                reverse_map = None
                 for prop, items in expanded.items():
                     if prop == "@reverse":
                         continue
+                    if reverse_map is None:
+                        reverse_map = result.setdefault("@reverse", {})
                     for item in items:
                         if is_value(item) or is_list(item):
                             raise JsonLdError(
