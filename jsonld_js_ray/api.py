@@ -174,7 +174,12 @@ def compact(document, ctx, options: Optional[dict] = None):
         # reference drops base entirely before expand+compact
         # (jsonld.js:164-165), keeping IRIs absolute
         options["base"] = None
-    expanded = expand_document(document, options)
+    if options.get("skipExpansion"):
+        # input is already expanded (cf. reference jsonld.js:168-175);
+        # used by frame/flatten to avoid a redundant expansion pass
+        expanded = document
+    else:
+        expanded = expand_document(document, options)
     return compact_document(expanded, ctx, options)
 
 

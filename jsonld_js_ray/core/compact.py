@@ -776,6 +776,10 @@ def compact_document(expanded, ctx, options: dict, from_flatten=False):
 
     compacted = compact(active_ctx, None, expanded, options)
 
+    # the public `graph` option forces @graph wrapping exactly like the
+    # flatten/frame path (cf. reference jsonld.js:196-199)
+    from_flatten = from_flatten or bool(options.get("graph"))
+
     # graph=true semantics (used by flatten/frame): always emit @graph
     if from_flatten and not isinstance(compacted, list):
         compacted = [compacted] if compacted else []

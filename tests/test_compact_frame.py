@@ -188,3 +188,22 @@ def test_remove_embed_collapses_matching_references():
         "ex:b": {"parent": parent, "property": "ex:p"}}}}
     _remove_embed(state, "ex:b")
     assert parent["ex:p"] == [{"@value": "keep"}, {"@id": "ex:b"}]
+
+
+def test_compact_graph_and_skip_expansion_options():
+    """Public `graph` option forces @graph wrapping (reference
+    jsonld.js:196-199, 226-236); `skipExpansion` treats the input as
+    already expanded (jsonld.js:168-175)."""
+    from jsonld_js_ray import api
+    doc = [{"@id": "http://e/a", "http://e/v": [{"@value": 1}]}]
+    assert api.compact(doc, {}, {"graph": True}) == {
+        "@graph": [{"@id": "http://e/a", "http://e/v": 1}]}
+    assert api.compact(doc, {"v": "http://e/v"}, {"graph": True}) == {
+        "@context": {"v": "http://e/v"},
+        "@graph": [{"@id": "http://e/a", "v": 1}]}
+    # without graph, a single node unwraps
+    assert api.compact(doc, {}, {}) == {
+        "@id": "http://e/a", "http://e/v": 1}
+    assert api.compact(doc, {"v": "http://e/v"},
+                       {"skipExpansion": True}) == {
+        "@context": {"v": "http://e/v"}, "@id": "http://e/a", "v": 1}
