@@ -55,8 +55,11 @@ def safe_event_handler(event: dict, next_handler):
     """Reject unsafe warning conditions (cf. reference safeEventHandler,
     lib/events.js:131-142)."""
     if event["level"] == "warning" and event["code"] in SAFE_EVENT_CODES:
-        raise JsonLdError(event["message"], "invalid JSON-LD syntax",
-                          {"event_code": event["code"]})
+        # the observable code of a safe-mode failure is the EVENT code
+        # (reference throws 'jsonld.ValidationError' with details.event;
+        # events.js:132-142)
+        raise JsonLdError(f"Safe mode validation error: {event['message']}",
+                          event["code"], {"event": event})
     next_handler()
 
 
@@ -774,10 +777,10 @@ def expand_iri(active_ctx: ActiveContext, value, *,
     if not isinstance(value, str):
         return value
 
-    # keyword-lookalike terms are dropped with a warning
+    # keyword-lookalike values expand to null SILENTLY here — events for
+    # reserved values are emitted at specific call sites only (term
+    # definition, @id/@reverse values; cf. reference context.js:1039-1042)
     if is_keyword_like(value):
-        emit_event(options, "reserved term",
-                   f"Terms beginning with '@' are reserved: {value!r}")
         return None
 
     # define term if in local context being processed

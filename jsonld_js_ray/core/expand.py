@@ -279,8 +279,12 @@ def _expand_object(active_ctx, active_property, element, result, nests,
         if expanded_property == "@id":
             if isinstance(value, str):
                 if is_keyword_like(value) and not is_keyword(value):
+                    # reference keeps the null expansion in the output
+                    # ("@id": null — expand.js:558-594 maps ve straight
+                    # into _addValue); spec edge case w3c/json-ld-api#480
                     emit_event(options, "reserved @id value",
                                f"@id value {value!r} is reserved.")
+                    result["@id"] = None
                     continue
                 expanded = expand_iri(active_ctx, value, base_mode=True,
                                       options=options)
@@ -653,8 +657,13 @@ def _expand_value(active_ctx, active_property, value, options):
     term_def = active_ctx.mappings.get(active_property) or {}
     type_mapping = term_def.get("@type")
     if type_mapping == "@id" and isinstance(value, str):
-        return {"@id": expand_iri(active_ctx, value, base_mode=True,
-                                  options=options)}
+        ev = expand_iri(active_ctx, value, base_mode=True, options=options)
+        if ev is None and is_keyword_like(value):
+            # spec edge case w3c/json-ld-api#480
+            # (cf. reference expand.js:1073-1091)
+            emit_event(options, "reserved @id value",
+                       f"@id value {value!r} is reserved.")
+        return {"@id": ev}
     if type_mapping == "@vocab" and isinstance(value, str):
         return {"@id": expand_iri(active_ctx, value, base_mode=True,
                                   vocab_mode=True, options=options)}

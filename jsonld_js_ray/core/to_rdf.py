@@ -191,6 +191,11 @@ def _object_to_rdf(item, options, issuer=None, quads=None, graph_term=None):
         raise JsonLdError("Unknown rdfDirection value.",
                           "invalid rdfDirection",
                           {"value": rdf_direction})
+    if direction is not None:
+        # direction dropped because rdfDirection is unset
+        # (cf. reference toRdf.js:328-342)
+        emit_event(options, "rdfDirection not set",
+                   "rdfDirection not set for @direction.")
     if language is not None:
         return (OBJ_LITERAL, str(value), datatype or RDF_LANGSTRING,
                 language)

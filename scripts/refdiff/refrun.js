@@ -52,6 +52,10 @@ async function run(req) {
     let cur = e;
     while (cur) {
       if (cur.details && cur.details.code) { code = cur.details.code; break; }
+      // safe-mode validation errors carry the event code
+      if (cur.details && cur.details.event && cur.details.event.code) {
+        code = cur.details.event.code; break;
+      }
       cur = cur.details && cur.details.cause;
     }
     return {errorCode: code || String(e.message)};

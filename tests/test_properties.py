@@ -67,9 +67,16 @@ def test_compact_expand_roundtrip(doc):
 
 @settings(**_SETTINGS)
 @given(_docs)
-def test_flatten_idempotent(doc):
+def test_flatten_idempotent_up_to_bnode_relabel(doc):
+    """flatten∘flatten equals flatten only up to blank-node relabeling:
+    re-flattening renumbers bnodes in node-map traversal order of the
+    (sorted) flat document, which can permute labels. The REFERENCE
+    behaves identically (verified against jsonld.js on the falsifying
+    example: both permute _:b2/_:b3 the same way), so compare the
+    canonicalized datasets instead of raw JSON."""
     flat = api.flatten(doc)
-    assert api.flatten(flat) == flat
+    flat2 = api.flatten(flat)
+    assert api.canonize(flat2) == api.canonize(flat)
 
 
 @settings(**_SETTINGS)
