@@ -11,6 +11,7 @@ per-worker caching inside Ray actors (see stages/expand_quads.py).
 from __future__ import annotations
 
 import json
+import re
 from typing import Any, Optional
 
 from .errors import JsonLdError
@@ -32,6 +33,10 @@ SAFE_EVENT_CODES = frozenset({
     "relative predicate reference", "relative subject reference",
     "rdfDirection not set",
 })
+
+# a term "has IRI form" when it contains a colon followed by a
+# non-colon, or a slash (reference context.js:693 /(?::[^:])|\//)
+_IRI_FORM_TERM_RE = re.compile(r"(?::[^:])|/")
 
 # module-level default handler, like the reference's
 # events.defaultEventHandler (lib/events.js:21, :170-180)
@@ -590,6 +595,20 @@ def create_term_definition(active_ctx: ActiveContext, local_ctx: dict,
                     raise JsonLdError(
                         f"@id mapping for {term!r} must expand to an IRI, "
                         "blank node, or keyword.", "invalid IRI mapping")
+                # a term that itself has IRI form (CURIE-like or with a
+                # slash) must expand to the SAME IRI as its declared @id
+                # (cf. reference context.js:692-705)
+                if _IRI_FORM_TERM_RE.search(term):
+                    term_defined = dict(defined)
+                    term_defined[term] = True
+                    term_iri = expand_iri(
+                        active_ctx, term, vocab_mode=True,
+                        local_ctx=local_ctx, defined=term_defined,
+                        options=options)
+                    if term_iri != iri:
+                        raise JsonLdError(
+                            "Term in form of IRI must expand to its own "
+                            "definition.", "invalid IRI mapping")
                 mapping["@id"] = iri
                 # simple term ending in a gen-delim char may be a prefix
                 if (simple_term and

@@ -155,16 +155,17 @@ def from_rdf_quads(quads: list[Quad], options: dict) -> list:
         if is_node_object:
             node_map.setdefault(o_value, {"@id": o_value})
 
+        # duplicates are KEPT: the reference's addValue defaults
+        # allowDuplicate=true (util.js:254-255; fromRdf.js:107,113), so
+        # a dataset containing the same quad twice yields repeated
+        # values/@type entries
         if p == RDF_TYPE and not use_rdf_type and is_node_object:
-            types = node.setdefault("@type", [])
-            if o_value not in types:
-                types.append(o_value)
+            node.setdefault("@type", []).append(o_value)
             continue
 
         value = _rdf_to_object(o_kind, o_value, datatype, language, options)
         values = node.setdefault(p, [])
-        if value not in values:
-            values.append(value)
+        values.append(value)
 
         # list-usage tracking
         if is_node_object:
