@@ -671,7 +671,11 @@ def create_term_definition(active_ctx: ActiveContext, local_ctx: dict,
         container = c if isinstance(c, list) else [c]
         cset = set(container)
         if not _ctx_1_1(active_ctx):
-            if (len(container) != 1 or container[0] not in
+            # 1.0: must be a bare STRING (an array is invalid even with
+            # one element) from the 1.0 container set
+            # (cf. reference context.js:853-859)
+            if (isinstance(c, list) or len(container) != 1
+                    or container[0] not in
                     ("@list", "@set", "@index", "@language")):
                 raise JsonLdError(
                     "Invalid @container in JSON-LD 1.0 mode.",

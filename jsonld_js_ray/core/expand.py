@@ -228,7 +228,18 @@ def _post_process(active_ctx, active_property, element, result, options,
             emit_event(options, "object with only @language",
                        "Dropping object with only @language.")
             return None
-        if active_property is None or active_property == "@graph":
+        # the drop applies at top level, under @graph (including via an
+        # alias), AND under a term whose @container includes @graph —
+        # graph-container map values that reduce to unsafe objects drop
+        # (cf. reference expand.js:372-379)
+        _ap_container = []
+        if active_property is not None:
+            _ap_container = (active_ctx.mappings.get(active_property)
+                             or {}).get("@container") or []
+        if (active_property is None or active_property == "@graph"
+                or expand_iri(active_ctx, active_property,
+                              vocab_mode=True, options=options) == "@graph"
+                or "@graph" in _ap_container):
             if len(return_val) == 0 and not frame_expansion:
                 emit_event(options, "empty object",
                            "Dropping empty object.")
