@@ -12,8 +12,9 @@ import json
 
 from .errors import JsonLdError
 from .keywords import (
-    I18N_NS, RDF_FIRST, RDF_JSON_LITERAL, RDF_LANGSTRING, RDF_LIST, RDF_NIL,
-    RDF_REST, RDF_TYPE, XSD_BOOLEAN, XSD_DOUBLE, XSD_INTEGER, XSD_STRING,
+    BCP47_RE, I18N_NS, RDF_DIRECTION, RDF_FIRST, RDF_JSON_LITERAL,
+    RDF_LANGSTRING, RDF_LANGUAGE, RDF_LIST, RDF_NIL, RDF_REST, RDF_TYPE,
+    RDF_VALUE, XSD_BOOLEAN, XSD_DOUBLE, XSD_INTEGER, XSD_STRING,
 )
 from .to_rdf import OBJ_BNODE, OBJ_IRI, OBJ_LITERAL, Quad
 
@@ -129,23 +130,30 @@ def from_rdf_quads(quads: list[Quad], options: dict) -> list:
     """Quads → expanded JSON-LD (spec §8.2)."""
     use_rdf_type = options.get("useRdfType", False)
 
-    # upfront rdfDirection validation (cf. reference fromRdf.js:64-75)
+    # upfront rdfDirection validation (cf. reference fromRdf.js:64-75).
+    # NOTE documented superset: the reference raises "Unsupported
+    # rdfDirection value." for compound-literal; this port implements the
+    # public spec (W3C JSON-LD 1.1 API §Serialize RDF as JSON-LD steps
+    # 3.5.1 + 6.1) instead (NOTES_r4 divergence).
     rdf_direction = options.get("rdfDirection")
-    if rdf_direction and rdf_direction != "i18n-datatype":
-        raise JsonLdError(
-            "Unsupported rdfDirection value."
-            if rdf_direction == "compound-literal"
-            else "Unknown rdfDirection value.",
-            "invalid rdfDirection", {"value": rdf_direction})
+    if rdf_direction and rdf_direction not in ("i18n-datatype",
+                                               "compound-literal"):
+        raise JsonLdError("Unknown rdfDirection value.",
+                          "invalid rdfDirection", {"value": rdf_direction})
+    compound_mode = rdf_direction == "compound-literal"
 
     graph_map: dict[str, dict] = {"@default": {}}
     referenced_once: dict[str, object] = {}
     nil_usages_by_graph: dict[str, list] = {}
+    # graph name -> ordered set of compound-literal subject bnode labels
+    compound_subjects: dict[str, dict] = {}
 
     for q in quads:
         s, p, o_kind, o_value, datatype, language, graph = q
         name = graph if graph else "@default"
         node_map = graph_map.setdefault(name, {})
+        if compound_mode and p == RDF_DIRECTION:
+            compound_subjects.setdefault(name, {})[s] = True
         if name != "@default":
             graph_map.setdefault("@default", {}).setdefault(
                 name, {"@id": name})
@@ -177,6 +185,45 @@ def from_rdf_quads(quads: list[Quad], options: dict) -> list:
                 referenced_once[o_value] = False
             elif o_kind == OBJ_BNODE:
                 referenced_once[o_value] = usage
+
+    # compound-literal reconstruction per graph (spec §8.2 step 6.1):
+    # each once-referenced compound node is removed from the node map and
+    # its referencing {@id} value rewritten in place to a value object
+    for name, cl_map in compound_subjects.items():
+        node_map = graph_map.get(name, {})
+        for cl in cl_map:
+            cl_entry = referenced_once.get(cl)
+            if not isinstance(cl_entry, dict):
+                continue
+            node, prop = cl_entry["node"], cl_entry["property"]
+            cl_node = node_map.pop(cl, None)
+            if cl_node is None:
+                continue
+            for cl_ref in node.get(prop, []):
+                if not isinstance(cl_ref, dict) or cl_ref.get("@id") != cl:
+                    continue
+                cl_ref.pop("@id", None)
+                values = cl_node.get(RDF_VALUE) or [{}]
+                cl_ref["@value"] = values[0].get("@value")
+                if RDF_LANGUAGE in cl_node:
+                    lang = cl_node[RDF_LANGUAGE][0].get("@value")
+                    if not isinstance(lang, str) or not BCP47_RE.match(lang):
+                        raise JsonLdError(
+                            "Invalid RDF syntax; rdf:language must be "
+                            "well-formed BCP47.",
+                            "invalid language-tagged string",
+                            {"value": lang})
+                    cl_ref["@language"] = lang
+                direction = cl_node.get(RDF_DIRECTION,
+                                        [{}])[0].get("@value")
+                if direction is not None:
+                    if direction not in ("ltr", "rtl"):
+                        raise JsonLdError(
+                            "Invalid RDF syntax; rdf:direction must be "
+                            '"ltr" or "rtl".',
+                            "invalid base direction",
+                            {"value": direction})
+                    cl_ref["@direction"] = direction
 
     # list reconstruction per graph (spec §8.2 step 4; fromRdf.js:117-140)
     for name, usages in nil_usages_by_graph.items():

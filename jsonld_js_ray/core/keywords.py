@@ -33,6 +33,9 @@ RDF_FIRST = RDF + "first"
 RDF_REST = RDF + "rest"
 RDF_NIL = RDF + "nil"
 RDF_JSON_LITERAL = RDF + "JSON"
+RDF_VALUE = RDF + "value"
+RDF_LANGUAGE = RDF + "language"
+RDF_DIRECTION = RDF + "direction"
 RDF_LANGSTRING = RDF + "langString"
 RDF_LIST = RDF + "List"
 XSD_BOOLEAN = XSD + "boolean"

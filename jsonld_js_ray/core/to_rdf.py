@@ -18,7 +18,8 @@ from typing import Optional
 from .errors import JsonLdError
 from .context import emit_event
 from .keywords import (
-    RDF_FIRST, RDF_JSON_LITERAL, RDF_LANGSTRING, RDF_NIL, RDF_REST, RDF_TYPE,
+    RDF_DIRECTION, RDF_FIRST, RDF_JSON_LITERAL, RDF_LANGSTRING, RDF_LANGUAGE,
+    RDF_NIL, RDF_REST, RDF_TYPE, RDF_VALUE,
     I18N_NS, XSD_BOOLEAN, XSD_DOUBLE, XSD_INTEGER, XSD_STRING,
     is_absolute_iri, is_bool, is_double, is_keyword, is_list, is_number,
     is_value,
@@ -184,9 +185,23 @@ def _object_to_rdf(item, options, issuer=None, quads=None, graph_term=None):
         dt = f"{I18N_NS}{(language or '').lower()}_{direction}"
         return (OBJ_LITERAL, str(value), dt, None)
     if direction is not None and rdf_direction == "compound-literal":
-        raise JsonLdError("Unsupported rdfDirection value.",
-                          "invalid rdfDirection",
-                          {"value": rdf_direction})
+        # Compound-literal serialization per the public spec (W3C JSON-LD
+        # 1.1 API, Object to RDF Conversion step 12): a fresh blank node
+        # carrying rdf:value / rdf:language (lowercased, optional) /
+        # rdf:direction as xsd:string literals becomes the object term.
+        # NOTE: documented superset — the reference v9.0.1-0 does NOT
+        # implement this mode and raises "Unsupported rdfDirection value."
+        # (toRdf.js:316-321); we implement the spec (NOTES_r4 divergence).
+        literal = issuer.get_id()
+        quads.append((literal, RDF_VALUE, OBJ_LITERAL, str(value),
+                      XSD_STRING, None, graph_term))
+        if language is not None:
+            quads.append((literal, RDF_LANGUAGE, OBJ_LITERAL,
+                          str(language).lower(), XSD_STRING, None,
+                          graph_term))
+        quads.append((literal, RDF_DIRECTION, OBJ_LITERAL, str(direction),
+                      XSD_STRING, None, graph_term))
+        return (OBJ_BNODE, literal, None, None)
     if direction is not None and rdf_direction:
         raise JsonLdError("Unknown rdfDirection value.",
                           "invalid rdfDirection",

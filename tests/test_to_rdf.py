@@ -167,3 +167,128 @@ def test_es6_number_str_above_2_53():
     assert es6_number_str(9007199254740996.0) == "9007199254740996"
     assert es6_number_str(123456789012345683968.0) == \
         "123456789012345680000"
+
+
+# --- rdfDirection: compound-literal (spec superset; reference v9.0.1-0
+# raises "Unsupported rdfDirection value." at toRdf.js:316-321 /
+# fromRdf.js:65-70 — NOTES_r4 documented divergence) ---
+
+def test_compound_literal_emit():
+    doc = {"@context": {"@vocab": V, "@language": "AR",
+                        "@direction": "rtl"},
+           "@id": V + "s", "label": "x"}
+    out = nq(doc, rdfDirection="compound-literal")
+    lines = sorted(out.strip().split("\n"))
+    # fresh bnode object + rdf:value / rdf:language (lowercased) /
+    # rdf:direction as plain (xsd:string) literals
+    assert any(f'<{V}s> <{V}label> _:' in ln for ln in lines)
+    assert '<http://www.w3.org/1999/02/22-rdf-syntax-ns#value> "x" .' \
+        in out
+    assert '<http://www.w3.org/1999/02/22-rdf-syntax-ns#language> "ar" .' \
+        in out
+    assert '<http://www.w3.org/1999/02/22-rdf-syntax-ns#direction> "rtl" .' \
+        in out
+
+
+def test_compound_literal_no_language():
+    doc = {"@context": {"@vocab": V, "@direction": "ltr"},
+           "@id": V + "s", "label": "y"}
+    out = nq(doc, rdfDirection="compound-literal")
+    assert "rdf-syntax-ns#language" not in out
+    assert '<http://www.w3.org/1999/02/22-rdf-syntax-ns#direction> "ltr" .' \
+        in out
+
+
+def test_compound_literal_roundtrip():
+    doc = {"@context": {"@vocab": V, "@language": "ar",
+                        "@direction": "rtl"},
+           "@id": V + "s", "label": "x"}
+    out = nq(doc, rdfDirection="compound-literal")
+    back = api.from_rdf(out, {"rdfDirection": "compound-literal"})
+    assert back == [{"@id": V + "s", V + "label":
+                     [{"@value": "x", "@language": "ar",
+                       "@direction": "rtl"}]}]
+
+
+def test_compound_literal_roundtrip_no_language():
+    doc = {"@context": {"@vocab": V, "@direction": "ltr"},
+           "@id": V + "s", "label": "y"}
+    back = api.from_rdf(nq(doc, rdfDirection="compound-literal"),
+                        {"rdfDirection": "compound-literal"})
+    assert back == [{"@id": V + "s", V + "label":
+                     [{"@value": "y", "@direction": "ltr"}]}]
+
+
+def test_compound_literal_fromrdf_ignored_without_option():
+    # without rdfDirection, the compound bnode stays a plain node object
+    doc = {"@context": {"@vocab": V, "@direction": "ltr"},
+           "@id": V + "s", "label": "y"}
+    back = api.from_rdf(nq(doc, rdfDirection="compound-literal"))
+    by_id = {n["@id"]: n for n in back}
+    node = by_id[V + "s"]
+    ref = node[V + "label"][0]
+    assert "@id" in ref and ref["@id"].startswith("_:")
+    cl = by_id[ref["@id"]]
+    assert cl["http://www.w3.org/1999/02/22-rdf-syntax-ns#direction"] == \
+        [{"@value": "ltr"}]
+
+
+def test_compound_literal_twice_referenced_not_collapsed():
+    # spec step 6.1.1: only once-referenced compound nodes convert
+    nq_text = (
+        f'<{V}a> <{V}p> _:c .\n'
+        f'<{V}b> <{V}p> _:c .\n'
+        '_:c <http://www.w3.org/1999/02/22-rdf-syntax-ns#value> "x" .\n'
+        '_:c <http://www.w3.org/1999/02/22-rdf-syntax-ns#direction> "ltr" .\n'
+    )
+    back = api.from_rdf(nq_text, {"rdfDirection": "compound-literal"})
+    ids = {n["@id"] for n in back}
+    assert any(i.startswith("_:") for i in ids)  # compound node survives
+
+
+def test_compound_literal_bad_direction_raises():
+    nq_text = (
+        f'<{V}a> <{V}p> _:c .\n'
+        '_:c <http://www.w3.org/1999/02/22-rdf-syntax-ns#value> "x" .\n'
+        '_:c <http://www.w3.org/1999/02/22-rdf-syntax-ns#direction> "up" .\n'
+    )
+    from jsonld_js_ray.core.errors import JsonLdError
+    with pytest.raises(JsonLdError) as ei:
+        api.from_rdf(nq_text, {"rdfDirection": "compound-literal"})
+    assert ei.value.code == "invalid base direction"
+
+
+def test_compound_literal_bad_language_raises():
+    nq_text = (
+        f'<{V}a> <{V}p> _:c .\n'
+        '_:c <http://www.w3.org/1999/02/22-rdf-syntax-ns#value> "x" .\n'
+        '_:c <http://www.w3.org/1999/02/22-rdf-syntax-ns#language> "9 9" .\n'
+        '_:c <http://www.w3.org/1999/02/22-rdf-syntax-ns#direction> "ltr" .\n'
+    )
+    from jsonld_js_ray.core.errors import JsonLdError
+    with pytest.raises(JsonLdError) as ei:
+        api.from_rdf(nq_text, {"rdfDirection": "compound-literal"})
+    assert ei.value.code == "invalid language-tagged string"
+
+
+def test_compound_literal_in_list():
+    doc = {"@context": {"@vocab": V,
+                        "p": {"@id": V + "p", "@container": "@list"}},
+           "@id": V + "s",
+           "p": [{"@value": "x", "@direction": "rtl",
+                  "@language": "ar"}]}
+    out = nq(doc, rdfDirection="compound-literal")
+    back = api.from_rdf(out, {"rdfDirection": "compound-literal"})
+    assert back == [{"@id": V + "s", V + "p":
+                     [{"@list": [{"@value": "x", "@language": "ar",
+                                  "@direction": "rtl"}]}]}]
+
+
+def test_unknown_rdf_direction_still_raises():
+    from jsonld_js_ray.core.errors import JsonLdError
+    doc = {"@context": {"@vocab": V, "@direction": "ltr"},
+           "@id": V + "s", "label": "y"}
+    with pytest.raises(JsonLdError):
+        nq(doc, rdfDirection="bogus")
+    with pytest.raises(JsonLdError):
+        api.from_rdf("", {"rdfDirection": "bogus"})
