@@ -234,12 +234,33 @@ def _doc_embedding_near_dup(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def _ann_queries(sf_dir: str):
+    """Pick the _N_ANN_QUERIES smallest vec_ids as query vectors without
+    materializing the table: pass 1 scans ONLY the vec_id column
+    (row-group at a time) to locate the winners; pass 2 reads just the
+    row groups that hold them, with a column projection. Driver holds
+    O(row_group) rows at peak, never the corpus."""
     import numpy as np
     import pyarrow.parquet as pq
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    df = t.to_pandas().sort_values("vec_id").head(_N_ANN_QUERIES)
-    ids = df["vec_id"].tolist()
-    vecs = np.stack(df["embedding"].to_numpy()).astype("float64")
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    best: list[tuple] = []  # (vec_id, row_group_idx)
+    for rg in range(pf.num_row_groups):
+        ids = pf.read_row_group(rg, columns=["vec_id"]).column(
+            "vec_id").to_pylist()
+        best.extend((v, rg) for v in ids)
+        best.sort()
+        del best[_N_ANN_QUERIES:]
+    want = {v for v, _ in best}
+    groups = sorted({rg for _, rg in best})
+    rows = {}
+    for rg in groups:
+        t = pf.read_row_group(rg, columns=["vec_id", "embedding"])
+        vid = t.column("vec_id").to_pylist()
+        emb = t.column("embedding").to_pylist()
+        for v, e in zip(vid, emb):
+            if v in want:
+                rows[v] = e
+    ids = sorted(rows)
+    vecs = np.array([rows[v] for v in ids], dtype="float64")
     return ids, vecs
 
 
@@ -293,7 +314,10 @@ def _nation_revenue(sf_dir: str):
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    return customer_nation_revenue(orders, _read_pdf(sf_dir, "customer"),
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"])
+    return customer_nation_revenue(orders, cust,
                                    _read_pdf(sf_dir, "nation"))
 
 

@@ -47,35 +47,76 @@ def lineitem_pricing_summary(lineitem_ds):
     return out.map_batches(round_cols, batch_format="pyarrow")
 
 
-def customer_nation_revenue(orders_ds, customer_df, nation_df):
-    """Revenue per nation: broadcast join (customer & nation dims shipped
-    once via ray.put, looked up per batch with a pandas merge — no
-    shuffle join for the big fact side)."""
+def customer_nation_revenue(orders_ds, customer_ds, nation_df,
+                            broadcast_threshold: int = 5_000_000):
+    """Revenue per nation over orders ⋈ customer ⋈ nation.
+
+    nation is tiny forever (25 rows) and ships as a plain dict via
+    ``ray.put``; customer is only "small" until it isn't, so the
+    custkey→n_name side is built DISTRIBUTED (customer batches map to
+    (o_custkey, n_name) in tasks; the driver holds only object refs)
+    and broadcast while under ``broadcast_threshold`` rows — beyond
+    that the orders⋈customer side flips to the bucketed ``hash_join``
+    (same strategy as :func:`region_revenue` / Q3)."""
     import ray
     from ray.data.aggregate import Sum
 
-    cust = customer_df[["c_custkey", "c_nationkey"]]
-    nat = nation_df[["n_nationkey", "n_name"]]
-    dim = cust.merge(nat, left_on="c_nationkey",
-                     right_on="n_nationkey")[["c_custkey", "n_name"]]
-    ref = ray.put(dim)
+    n2name = dict(zip(nation_df["n_nationkey"], nation_df["n_name"]))
+    n2name_ref = ray.put(n2name)
 
-    class JoinDim:
-        def __init__(self):
-            d = ray.get(ref)
-            self.map = d.set_index("c_custkey")["n_name"]
+    class CustNation:
+        def __init__(self, n2name_ref):
+            self.n2name = ray.get(n2name_ref)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            df = batch.to_pandas()
-            df["n_name"] = df["o_custkey"].map(self.map)
-            g = (df.dropna(subset=["n_name"])
-                 .groupby("n_name", as_index=False)
+        def __call__(self, b: pa.Table) -> pa.Table:
+            df = b.to_pandas()
+            return pa.table({
+                "o_custkey": pa.array(df["c_custkey"], pa.int64()),
+                "n_name": pa.array(df["c_nationkey"].map(self.n2name),
+                                   pa.string()),
+            })
+
+    cust_nation = customer_ds.map_batches(
+        CustNation, fn_constructor_kwargs={"n2name_ref": n2name_ref},
+        batch_format="pyarrow", concurrency=default_concurrency(8),
+        num_cpus=1)
+
+    cn_refs = _small_side_refs(cust_nation, broadcast_threshold)
+    if cn_refs is None:
+        # scale fallback: customer no longer broadcastable
+        joined = hash_join(orders_ds, cust_nation, "o_custkey")
+
+        def partial(b: pa.Table) -> pa.Table:
+            df = b.to_pandas()
+            g = (df.groupby("n_name", as_index=False)
                  .agg(revenue=("o_totalprice", "sum"),
                       n_orders=("o_orderkey", "size")))
             return pa.Table.from_pandas(g, preserve_index=False)
 
-    partials = orders_ds.map_batches(JoinDim, batch_format="pyarrow",
-                                     concurrency=default_concurrency(8), num_cpus=1)
+        partials = joined.map_batches(partial, batch_format="pyarrow")
+    else:
+        class JoinDim:
+            def __init__(self, cn_refs):
+                t = pa.concat_tables(ray.get(cn_refs))
+                self.map = pd.Series(
+                    t.column("n_name").to_pandas().values,
+                    index=t.column("o_custkey").to_numpy(
+                        zero_copy_only=False))
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                df = batch.to_pandas()
+                df["n_name"] = df["o_custkey"].map(self.map)
+                g = (df.dropna(subset=["n_name"])
+                     .groupby("n_name", as_index=False)
+                     .agg(revenue=("o_totalprice", "sum"),
+                          n_orders=("o_orderkey", "size")))
+                return pa.Table.from_pandas(g, preserve_index=False)
+
+        partials = orders_ds.map_batches(
+            JoinDim, fn_constructor_kwargs={"cn_refs": cn_refs},
+            batch_format="pyarrow", concurrency=default_concurrency(8),
+            num_cpus=1)
+
     out = (partials.groupby("n_name")
            .aggregate(Sum("revenue", alias_name="revenue"),
                       Sum("n_orders", alias_name="n_orders")))
