@@ -122,14 +122,23 @@ def create_node_map(element, graph_map: dict, active_graph: str,
     # node object
     if "@id" in element:
         el_id = element["@id"]
-        if el_id is None:
-            return
-        node_id = issuer.get_id(el_id) if isinstance(el_id, str) \
-            and el_id.startswith("_:") else el_id
+        if not isinstance(el_id, str) or not el_id:
+            # embedded null-@id objects are skipped (nodeMap.js:189-191:
+            # `if('@id' in o && !o['@id']) continue`); a TOP-LEVEL node
+            # with null @id is a blank node and gets a fresh label
+            # (nodeMap.js:97-100 via isBlankNode on non-string @id) —
+            # the @RESERVED path produces exactly this shape
+            if (active_property is not None
+                    or isinstance(active_subject, dict)
+                    or list_ is not None):
+                return
+            node_id = issuer.get_id()
+        elif el_id.startswith("_:"):
+            node_id = issuer.get_id(el_id)
+        else:
+            node_id = el_id
     else:
         node_id = issuer.get_id()
-    if not isinstance(node_id, str):
-        return
 
     node = graph.setdefault(node_id, {"@id": node_id})
 
@@ -182,7 +191,13 @@ def create_node_map(element, graph_map: dict, active_graph: str,
         values = element[prop]
         if prop.startswith("_:"):
             prop = issuer.get_id(prop)
-        node.setdefault(prop, [])
+        if isinstance(values, list) and not values:
+            # property added ONLY for literally-empty arrays
+            # (nodeMap.js:177-180); when values exist but every one is
+            # skipped (e.g. null @id), the property stays absent so an
+            # otherwise-empty node collapses to only-@id and is pruned
+            node.setdefault(prop, [])
+            continue
         create_node_map(values, graph_map, active_graph, issuer, node_id,
                         prop)
 

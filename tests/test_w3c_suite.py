@@ -95,7 +95,8 @@ def _options_for(suite_dir, entry):
                 "produceGeneralizedRdf", "compactArrays",
                 "compactToRelative", "omitGraph", "processingMode",
                 "omitDefault", "requireAll", "explicit", "embed",
-                "pruneBlankNodeIdentifiers", "maxDeepIterations", "safe"):
+                "pruneBlankNodeIdentifiers", "maxDeepIterations", "safe",
+                "skipExpansion"):
         if key in opt:
             options[key] = opt[key]
     if "contexts" in entry:
