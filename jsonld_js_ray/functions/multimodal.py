@@ -42,13 +42,38 @@ def synthesize_media_table(n: int, seed: int = 3) -> pa.Table:
     })
 
 
-def real_image_decode(payload: bytes):
-    """The real decode path — requires an imaging library not present in
-    this container. The pipeline wires this through DecodeFeatures with
-    ``use_stub=False`` when deployed with the library available."""
-    raise NotImplementedError(
-        "image decode requires an imaging library (e.g. Pillow/ffmpeg), "
-        "not available in this environment — use the deterministic stub")
+def _try_import_pil():
+    """Optional-dependency probe: returns the PIL.Image module or None.
+    Kept a function so actor __init__ does the import ONCE per actor."""
+    try:
+        from PIL import Image  # type: ignore
+        return Image
+    except ImportError:
+        return None
+
+
+HAS_PIL = _try_import_pil() is not None
+
+
+def real_image_decode(payload: bytes, pil_image=None):
+    """The real decode path, active when Pillow is installed in the
+    deployment environment: decodes the payload, downsamples to an
+    8×8 grayscale thumbnail and returns its 64 pixel intensities as
+    float32 features (a perceptual-hash-style embedding). Without
+    Pillow this raises — this sandbox has no imaging libs, so the
+    pipeline default stays the deterministic stub."""
+    pil_image = pil_image or _try_import_pil()
+    if pil_image is None:
+        raise NotImplementedError(
+            "image decode requires an imaging library (e.g. "
+            "Pillow/ffmpeg), not available in this environment — use "
+            "the deterministic stub")
+    import io
+    img = pil_image.open(io.BytesIO(payload))
+    thumb = img.convert("L").resize((8, 8))
+    feats = np.asarray(thumb, dtype=np.float32).ravel() / 255.0
+    return {"width": img.width, "height": img.height,
+            "features": feats}
 
 
 class DecodeFeatures:
@@ -63,6 +88,12 @@ class DecodeFeatures:
 
     def __init__(self, use_stub: bool = True):
         self.use_stub = use_stub
+        # optional dependency resolved ONCE per actor, not per batch
+        self.pil = None if use_stub else _try_import_pil()
+        if not use_stub and self.pil is None:
+            raise NotImplementedError(
+                "DecodeFeatures(use_stub=False) requires Pillow in the "
+                "deployment environment")
 
     def _stub_features(self, payload: bytes) -> np.ndarray:
         digest = hashlib.sha256(payload).digest()
@@ -75,9 +106,11 @@ class DecodeFeatures:
         payloads = batch.column("payload").to_pylist()
         feats, sizes = [], []
         for payload in payloads:
-            if not self.use_stub:
-                real_image_decode(payload)
-            feats.append(self._stub_features(payload))
+            if self.use_stub:
+                feats.append(self._stub_features(payload))
+            else:
+                decoded = real_image_decode(payload, self.pil)
+                feats.append(decoded["features"][:self.FEATURE_DIM])
             sizes.append(len(payload))
         return pa.table({
             "media_id": pa.array(ids, pa.int64()),

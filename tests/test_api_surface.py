@@ -261,3 +261,41 @@ def test_jsonld_processor_facade():
     with pytest.raises(TypeError):
         JsonLdProcessor.flatten()
     assert str(JsonLdProcessor()) == "[object JsonLdProcessor]"
+
+
+def test_real_decode_raises_without_pillow():
+    """In an env without Pillow, the real path must fail LOUDLY at
+    actor construction — never fall back silently to the stub."""
+    from jsonld_js_ray.functions import multimodal as mm
+    if mm.HAS_PIL:
+        pytest.skip("Pillow installed; covered by test_real_decode_pillow")
+    with pytest.raises(NotImplementedError):
+        mm.DecodeFeatures(use_stub=False)
+    with pytest.raises(NotImplementedError):
+        mm.real_image_decode(b"\x89PNG fake")
+
+
+def test_real_decode_pillow():
+    """Exercised only in a deployment env with Pillow: a genuine PNG
+    round-trips the real decode path with the declared feature shape."""
+    from jsonld_js_ray.functions import multimodal as mm
+    if not mm.HAS_PIL:
+        pytest.skip("Pillow not installed in this sandbox")
+    import io
+    img_mod = mm._try_import_pil()
+    buf = io.BytesIO()
+    img_mod.new("RGB", (32, 16), (120, 30, 200)).save(buf, format="PNG")
+    decoded = mm.real_image_decode(buf.getvalue())
+    assert decoded["width"] == 32 and decoded["height"] == 16
+    assert decoded["features"].shape == (64,)
+    assert decoded["features"].dtype.name == "float32"
+    stage = mm.DecodeFeatures(use_stub=False)
+    import pyarrow as pa
+    batch = pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "kind": pa.array(["image"], pa.string()),
+        "payload": pa.array([buf.getvalue()], pa.large_binary()),
+    })
+    out = stage(batch)
+    assert out.num_rows == 1
+    assert len(out.column("features")[0].as_py()) == stage.FEATURE_DIM
