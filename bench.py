@@ -185,7 +185,11 @@ def main():
         print(json.dumps(_kg_only()))
         return
     if "--scaling" in sys.argv:
-        lo, hi = 8, 32
+        # pair override: GRAFT_SCALING_LO/HI (e.g. 4 and 16 keeps both
+        # levels inside the box's physical cores, less confounded by
+        # full-box contention than 8 vs 32)
+        lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
+        hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
         rows = int(os.environ.get("GRAFT_SCALING_ROWS", "4000000"))
         # pre-materialize the corpus (cached) so neither run pays generation
         _init_ray(int(os.environ.get("RAY_GRAFT_CPUS", "32")))

@@ -708,11 +708,10 @@ def create_term_definition(active_ctx: ActiveContext, local_ctx: dict,
                 "@index requires @container:@index.",
                 "invalid term definition")
         idx = value["@index"]
+        # the reference validates ONLY string + not-@-prefixed here
+        # (context.js:894-899) — despite its error text, IRI expansion
+        # of the index key happens lazily at expand time
         if not isinstance(idx, str) or idx.startswith("@"):
-            raise JsonLdError("@index must be a non-keyword string.",
-                              "invalid term definition")
-        exp = expand_iri(active_ctx, idx, vocab_mode=True, options=options)
-        if exp is None or not is_absolute_iri(exp):
             raise JsonLdError("@index must expand to an IRI.",
                               "invalid term definition")
         mapping["@index"] = idx

@@ -269,7 +269,11 @@ def _expand_object(active_ctx, active_property, element, result, nests,
         expanded_property = expand_iri(active_ctx, key, vocab_mode=True,
                                        options=options)
         if expanded_property is None or not (
-                ":" in expanded_property or is_keyword(expanded_property)):
+                is_absolute_iri(expanded_property)
+                or is_keyword(expanded_property)):
+            # scheme-validated absoluteness, not just "contains a colon"
+            # (expand.js:488-490 via url.js isAbsolute): '@foo:suffix'
+            # from an undefined keyword-like prefix must drop
             emit_event(options, "invalid property",
                        f"Dropping property {key!r} that expands to "
                        f"{expanded_property!r}.")

@@ -288,30 +288,51 @@ def jaccard_verify(docs_ds, pairs_ds, threshold: float = 0.8, k: int = 5):
             "pb", pa.array((a * np.int64(1000003) + b) % NB, pa.int64()))
 
     def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """One vectorized pass per bucket: pair rows up by (a, b), pool
+        every side's shingle blob into ONE concatenated array tagged
+        with its pair index, sort once, and count per-pair duplicate
+        values (each side is sorted-unique, so a value shared by both
+        sides appears exactly twice) — no per-pair Python loop."""
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64"),
+                              "jaccard": pd.Series(dtype="float64")})
+        if g.empty:
+            return empty
         g = g.sort_values(["a", "b"], kind="stable")
-        out_a, out_b, out_j = [], [], []
-        it = g.itertuples(index=False)
-        prev = None
-        for row in it:
-            cur = (row.a, row.b)
-            if prev is not None and cur == prev[0]:
-                sa = np.frombuffer(prev[1], dtype=np.uint64)
-                sb = np.frombuffer(row.sh, dtype=np.uint64)
-                inter = np.intersect1d(sa, sb,
-                                       assume_unique=True).size
-                union = sa.size + sb.size - inter
-                j = round(inter / union, 6) if union else 1.0
-                if j >= threshold:
-                    out_a.append(row.a)
-                    out_b.append(row.b)
-                    out_j.append(j)
-                prev = None
-            else:
-                prev = (cur, row.sh)
-        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
-                             "b": pd.Series(out_b, dtype="int64"),
-                             "jaccard": pd.Series(out_j,
-                                                  dtype="float64")})
+        a = g["a"].to_numpy(dtype=np.int64)
+        bcol = g["b"].to_numpy(dtype=np.int64)
+        # adjacent rows with equal (a, b) are the two sides of a pair
+        # (each (a, b) occurs at most twice — one blob per side)
+        m = (a[:-1] == a[1:]) & (bcol[:-1] == bcol[1:])
+        lhs = np.flatnonzero(m)
+        if len(lhs) > 1:  # guard double-match runs (defensive)
+            keep = np.ones(len(lhs), dtype=bool)
+            keep[1:] = lhs[1:] != lhs[:-1] + 1
+            lhs = lhs[keep]
+        if not len(lhs):
+            return empty
+        blobs = g["sh"].to_numpy()
+        arrs_a = [np.frombuffer(blobs[i], dtype=np.uint64) for i in lhs]
+        arrs_b = [np.frombuffer(blobs[i + 1], dtype=np.uint64)
+                  for i in lhs]
+        sizes_a = np.array([x.size for x in arrs_a], dtype=np.int64)
+        sizes_b = np.array([x.size for x in arrs_b], dtype=np.int64)
+        npairs = len(lhs)
+        pair_rep = np.repeat(np.arange(npairs), sizes_a + sizes_b)
+        vals = np.concatenate(
+            [v for ab in zip(arrs_a, arrs_b) for v in ab])
+        order = np.lexsort((vals, pair_rep))
+        pv, vv = pair_rep[order], vals[order]
+        dup = (pv[1:] == pv[:-1]) & (vv[1:] == vv[:-1])
+        inter = np.bincount(pv[1:][dup], minlength=npairs)
+        union = sizes_a + sizes_b - inter
+        j = np.where(union > 0, np.round(inter / np.maximum(union, 1), 6),
+                     1.0)
+        sel = j >= threshold
+        return pd.DataFrame({
+            "a": pd.Series(a[lhs][sel], dtype="int64"),
+            "b": pd.Series(bcol[lhs][sel], dtype="int64"),
+            "jaccard": pd.Series(j[sel], dtype="float64")})
 
     return (sides.map_batches(add_pair_bucket, batch_format="pyarrow")
             .groupby("pb")
