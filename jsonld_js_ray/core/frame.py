@@ -89,7 +89,11 @@ def frame_document(document, frame_doc, options: dict):
     if isinstance(compacted, dict) and "@graph" in compacted \
             and options["omitGraph"]:
         graph_val = compacted["@graph"]
-        if isinstance(graph_val, list) and len(graph_val) == 1 \
+        if isinstance(graph_val, list) and not graph_val:
+            # zero matches: just the context, no empty @graph key
+            compacted = {k: v for k, v in compacted.items()
+                         if k != "@graph"}
+        elif isinstance(graph_val, list) and len(graph_val) == 1 \
                 and isinstance(graph_val[0], dict):
             merged_out = dict(graph_val[0])
             if "@context" in compacted:
@@ -187,6 +191,11 @@ def _node_matches_frame(state, subject: dict, frame: dict, options) -> bool:
                     return False
                 match_this = True
             elif is_list(this_frame):
+                # list frames match through their FIRST inner pattern:
+                # value patterns value-match each list item, node
+                # patterns (incl. the empty {} — isSubject({}) is true)
+                # node-match each item against the subject map; any
+                # other inner shape matches nothing (frame.js:600-612)
                 list_value = (this_frame["@list"][0]
                               if this_frame["@list"] else None)
                 if node_values and is_list(node_values[0]):
@@ -195,8 +204,13 @@ def _node_matches_frame(state, subject: dict, frame: dict, options) -> bool:
                         match_this = any(
                             _value_pattern_match(list_value, lv)
                             for lv in node_list_values)
-                    elif isinstance(list_value, dict):
-                        match_this = len(node_list_values) > 0
+                    elif (isinstance(list_value, dict)
+                          and not any(k in list_value for k in
+                                      ("@value", "@set", "@list"))):
+                        match_this = any(
+                            _node_pattern_match(state, list_value, lv,
+                                                options)
+                            for lv in node_list_values)
             elif is_value(this_frame):
                 match_this = any(_value_pattern_match(this_frame, nv)
                                  for nv in node_values)
@@ -219,20 +233,62 @@ def _node_matches_frame(state, subject: dict, frame: dict, options) -> bool:
     return wildcard or matches_some
 
 
+def _js_strict_in(needle, hay: list) -> bool:
+    """JS Array.includes semantics: === comparison, so bool never
+    equals number (Python's True == 1 must not count)."""
+    for h in hay:
+        if isinstance(needle, bool) != isinstance(h, bool):
+            continue
+        if needle == h:
+            return True
+    return False
+
+
 def _value_pattern_match(pattern: dict, value) -> bool:
+    """Exact mirror of reference _valueMatch (frame.js:719-752):
+    an all-empty pattern is a wildcard; otherwise EVERY dimension is
+    constrained — a pattern without @type only matches values without
+    @type, and a {} wildcard in @type/@language requires the value to
+    HAVE that dimension. Falsy pattern entries (null) count as empty."""
     if not is_value(value):
         return False
-    for k in ("@value", "@type", "@language"):
-        if k in pattern:
-            pv = pattern[k]
-            pvs = pv if isinstance(pv, list) else [pv]
-            if len(pvs) == 1 and isinstance(pvs[0], dict) and not pvs[0]:
-                if k == "@value" and value.get(k) is None:
-                    return False
-                continue  # wildcard
-            if value.get(k) not in pvs:
-                return False
+    v1 = value.get("@value")
+    t1 = value.get("@type")
+    l1 = value.get("@language")
+
+    def plist(k):
+        pv = pattern.get(k)
+        if not pv:  # JS truthiness: absent / null / '' / 0 / false
+            return []
+        return pv if isinstance(pv, list) else [pv]
+
+    v2, t2, l2 = plist("@value"), plist("@type"), plist("@language")
+    if not v2 and not t2 and not l2:
+        return True
+
+    def wild(lst):
+        return bool(lst) and isinstance(lst[0], dict) and not lst[0]
+
+    if not (_js_strict_in(v1, v2) or wild(v2)):
+        return False
+    if not ((not t1 and not t2) or _js_strict_in(t1, t2)
+            or (t1 and wild(t2))):
+        return False
+    if not ((not l1 and not l2) or _js_strict_in(l1, l2)
+            or (l1 and wild(l2))):
+        return False
     return True
+
+
+def _node_pattern_match(state, pattern: dict, value, options) -> bool:
+    """Reference _nodeMatch (frame.js:754-765): the value must be a
+    node reference resolving in the subject map; the pattern then
+    re-enters subject filtering against the referenced node."""
+    if not isinstance(value, dict) or "@id" not in value:
+        return False
+    node = state["graphMap"][state["graph"]].get(value["@id"])
+    return bool(node) and _node_matches_frame(state, node, pattern,
+                                              options)
 
 
 def _match_frame(state, subjects, frame, parent, active_property,

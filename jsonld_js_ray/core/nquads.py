@@ -90,7 +90,8 @@ _EMPTY_RE = re.compile(r"^[ \t]*(#.*)?$")
 def parse(text: str) -> list[Quad]:
     """Parse N-Quads text into quads (line-oriented; comments allowed)."""
     quads: list[Quad] = []
-    for line_no, line in enumerate(text.split("\n"), 1):
+    # eoln = \r\n | \n | \r (matches rdf-canonize's line splitting)
+    for line_no, line in enumerate(re.split(r"\r\n|\n|\r", text), 1):
         if _EMPTY_RE.match(line):
             continue
         m = _QUAD_RE.match(line)

@@ -11,11 +11,25 @@
 // missing npm deps are satisfied by the minimal shims in ./node_modules
 // (lru-cache map stand-in, rdf-canonize IdentifierIssuer + N-Quads,
 // JCS canonicalize) — all original code, no network.
-const jsonld = require('/root/reference/lib/index.js');
+let jsonld = require('/root/reference/lib/index.js');
+
+// jsonld.js holds MODULE-LEVEL caches (resolved-context LRU keyed by
+// URL, processed-context tags) that leak across requests in one
+// process: two cases importing the SAME context URL contaminate each
+// other's @import/@protected processing. For requests that carry a
+// context snapshot, reload the reference to get pristine caches.
+function freshJsonld() {
+  for (const k of Object.keys(require.cache)) {
+    if (k.startsWith('/root/reference/')) delete require.cache[k];
+  }
+  jsonld = require('/root/reference/lib/index.js');
+  return jsonld;
+}
 
 async function run(req) {
   const options = Object.assign({}, req.options || {});
   const snapshot = req.contexts || {};
+  if (req.contexts) freshJsonld();
   options.documentLoader = async url => {
     if (url in snapshot) {
       return {contextUrl: null, documentUrl: url, document: snapshot[url]};
