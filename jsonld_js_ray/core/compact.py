@@ -473,8 +473,11 @@ def compact(active_ctx: ActiveContext, active_property: Optional[str],
                 types = [types]
             compacted = [compact_iri(active_ctx, t, relative_to_vocab=True)
                          for t in types]
-            if len(compacted) == 1 and compact_arrays:
-                # unless @type term has @container @set
+            if len(compacted) == 1:
+                # singleton @type ALWAYS collapses to a string — even
+                # under compactArrays=false (compact.js:233-257 has no
+                # compactArrays check here) — unless the @type alias
+                # term carries @container @set in 1.1 mode
                 type_td = active_ctx.mappings.get(
                     compact_iri(active_ctx, "@type",
                                 relative_to_vocab=True)) or {}
