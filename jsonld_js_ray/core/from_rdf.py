@@ -175,7 +175,10 @@ def from_rdf_quads(quads: list[Quad], options: dict) -> list:
         values = node.setdefault(p, [])
         values.append(value)
 
-        # list-usage tracking
+        # list-usage tracking: referencedOnce records EVERY node object
+        # (IRI-identified too, fromRdf.js:130-139) — the list fold can
+        # consume an IRI-identified tail cell; only CONTINUING up the
+        # chain requires blank referrers
         if is_node_object:
             usage = {"node": node, "property": p, "value": value,
                      "graph": name}
@@ -183,7 +186,7 @@ def from_rdf_quads(quads: list[Quad], options: dict) -> list:
                 nil_usages_by_graph.setdefault(name, []).append(usage)
             elif o_value in referenced_once:
                 referenced_once[o_value] = False
-            elif o_kind == OBJ_BNODE:
+            else:
                 referenced_once[o_value] = usage
 
     # compound-literal reconstruction per graph (spec §8.2 step 6.1):
@@ -232,16 +235,18 @@ def from_rdf_quads(quads: list[Quad], options: dict) -> list:
             node, prop, head = usage["node"], usage["property"], \
                 usage["value"]
             lst, lst_nodes = [], []
+            # the ENTRY cell may be IRI-identified (no bnode check before
+            # the first fold, fromRdf.js:233-246); walking backwards
+            # stops once the referrer is not a blank node (:252-255)
             while (prop == RDF_REST
                    and isinstance(referenced_once.get(node["@id"]), dict)
-                   and node["@id"].startswith("_:")
                    and isinstance(node.get(RDF_FIRST), list)
                    and len(node.get(RDF_FIRST, [])) == 1
                    and isinstance(node.get(RDF_REST), list)
                    and len(node.get(RDF_REST, [])) == 1
-                   and set(node.keys()) <= {"@id", "@type", RDF_FIRST,
-                                            RDF_REST}
-                   and node.get("@type", [RDF_LIST]) == [RDF_LIST]):
+                   and (len(node) == 3
+                        or (len(node) == 4
+                            and node.get("@type") == [RDF_LIST]))):
                 lst.append(node[RDF_FIRST][0])
                 lst_nodes.append(node["@id"])
                 usage_ref = referenced_once[node["@id"]]
