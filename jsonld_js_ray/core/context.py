@@ -16,7 +16,7 @@ from typing import Any, Optional
 
 from .errors import JsonLdError
 from .keywords import (
-    KEYWORDS, is_absolute_iri, is_keyword, is_keyword_like,
+    BCP47_RE, KEYWORDS, is_absolute_iri, is_keyword, is_keyword_like,
 )
 from .url import prepend_base
 
@@ -399,6 +399,10 @@ def process_context(active_ctx: ActiveContext, local_ctx, options: dict,
                 raise JsonLdError("@language must be a string or null.",
                                   "invalid default language")
             else:
+                if not BCP47_RE.match(lang):
+                    # warning event, value still used (context.js:264-280)
+                    emit_event(options or {}, "invalid @language value",
+                               "@language value must be valid BCP47.")
                 result.default_language = lang.lower()
 
         # @direction

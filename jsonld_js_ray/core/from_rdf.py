@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 
+from .context import emit_event
 from .errors import JsonLdError
 from .keywords import (
     BCP47_RE, I18N_NS, RDF_DIRECTION, RDF_FIRST, RDF_JSON_LITERAL,
@@ -84,6 +85,10 @@ def _rdf_to_object(o_kind, o_value, datatype, language, options):
         rval["@type"] = "@json"
         return rval
     if language:
+        if not BCP47_RE.match(language):
+            # warning event, tag still kept (fromRdf.js:316-333)
+            emit_event(options, "invalid @language value",
+                       "@language value must be valid BCP47.")
         rval["@language"] = language
         return rval
     if rdf_direction == "i18n-datatype" and datatype and \

@@ -59,30 +59,21 @@ def to_rdf(expanded, options: Optional[dict] = None) -> list[Quad]:
 
 
 def _graph_to_rdf(quads, node_map, graph_term, issuer, options):
-    """cf. reference toRdf.js:102-197."""
+    """cf. reference toRdf.js:102-197. The relative-subject/-predicate
+    checks run INSIDE the per-item loop (toRdf.js:115-158): a node with
+    only an @id — e.g. the map entry auto-created for a relative object
+    reference — never trips the subject check, so safe mode reports the
+    OBJECT event for that shape, not a subject event."""
     produce_generalized = options.get("produceGeneralizedRdf", False)
     for subject_id in sorted(node_map.keys()):
         node = node_map[subject_id]
-        if not subject_id.startswith("_:") and not is_absolute_iri(
-                subject_id):
-            emit_event(options, "relative subject reference",
-                       f"Dropping relative subject {subject_id!r}.")
-            continue
+        subject_ok = subject_id.startswith("_:") or is_absolute_iri(
+            subject_id)
         for prop in sorted(node.keys()):
             values = node[prop]
             if prop == "@type":
                 predicate = RDF_TYPE
             elif is_keyword(prop):
-                continue
-            elif prop.startswith("_:"):
-                if not produce_generalized:
-                    emit_event(options, "blank node predicate",
-                               f"Dropping blank-node predicate {prop!r}.")
-                    continue
-                predicate = prop
-            elif not is_absolute_iri(prop):
-                emit_event(options, "relative predicate reference",
-                           f"Dropping relative predicate {prop!r}.")
                 continue
             else:
                 predicate = prop
@@ -90,6 +81,22 @@ def _graph_to_rdf(quads, node_map, graph_term, issuer, options):
             if not isinstance(values, list):
                 values = [values]
             for item in values:
+                if not subject_ok:
+                    emit_event(options, "relative subject reference",
+                               f"Dropping relative subject "
+                               f"{subject_id!r}.")
+                    continue
+                if predicate.startswith("_:"):
+                    if not produce_generalized:
+                        emit_event(options, "blank node predicate",
+                                   f"Dropping blank-node predicate "
+                                   f"{predicate!r}.")
+                        continue
+                elif not is_absolute_iri(predicate):
+                    emit_event(options, "relative predicate reference",
+                               f"Dropping relative predicate "
+                               f"{predicate!r}.")
+                    continue
                 if prop == "@type":
                     item = {"@id": item}
                 if is_list(item):
