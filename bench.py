@@ -145,8 +145,10 @@ def _ceiling() -> dict:
                                   tbl.column("lang").to_pylist())
                 if l in ("jsonld", "json")]
 
+    lo = int(os.environ.get("GRAFT_CEILING_LO", "8"))
+    hi = int(os.environ.get("GRAFT_CEILING_HI", "32"))
     best = {}
-    for procs in (8, 32, 8, 32):
+    for procs in (lo, hi, lo, hi):
         chunks = [contents[i::procs] for i in range(procs)]
         t0 = time.time()
         with mp.Pool(procs) as p:
@@ -155,10 +157,11 @@ def _ceiling() -> dict:
         best[procs] = max(best.get(procs, 0), rate)
     return {
         "metric": "hardware_ceiling_efficiency",
-        "value": round((best[32] / best[8]) / 4, 3),
+        "value": round((best[hi] / best[lo]) / (hi / lo), 3),
         "unit": "ratio",
-        "docs_per_sec_8": round(best[8]),
-        "docs_per_sec_32": round(best[32]),
+        "procs_lo": lo, "procs_hi": hi,
+        "docs_per_sec_lo": round(best[lo]),
+        "docs_per_sec_hi": round(best[hi]),
     }
 
 
