@@ -420,6 +420,23 @@ def _part_brand_stats(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def _part_topk_by_brand(sf_dir: str):
+    import ray
+    from jsonld_js_ray.functions.relational import topk_per_group
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_brand", "p_partkey",
+                                          "p_retailprice"])
+    return topk_per_group(part, k=3)
+
+
+def _doc_stratified_sample(sf_dir: str):
+    import ray
+    from jsonld_js_ray.functions.relational import stratified_sample
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang", "n_chars"])
+    return stratified_sample(docs)
+
+
 def _q3_shipping(sf_dir: str):
     import ray
     from jsonld_js_ray.functions.relational import q3_shipping_priority
@@ -562,6 +579,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_agg": _events_type_agg,
         "doc_length_by_lang": _doc_length_by_lang,
         "part_brand_stats": _part_brand_stats,
+        "part_topk_by_brand": _part_topk_by_brand,
+        "doc_stratified_sample": _doc_stratified_sample,
         "events_sessions": _events_sessions,
         # multimodal plumbing
         "media_decode_features": _media_decode,
@@ -703,6 +722,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(p_size) AS BIGINT) AS min_size,
                    CAST(max(p_size) AS BIGINT) AS max_size
             FROM part GROUP BY p_brand
+        """,
+        "part_topk_by_brand": """
+            SELECT p_brand, p_partkey, p_retailprice,
+                   CAST(rank AS BIGINT) AS rank
+            FROM (SELECT p_brand, p_partkey, p_retailprice,
+                         row_number() OVER (
+                             PARTITION BY p_brand
+                             ORDER BY p_retailprice DESC, p_partkey
+                         ) AS rank
+                  FROM part)
+            WHERE rank <= 3
+        """,
+        "doc_stratified_sample": """
+            SELECT doc_id, lang, n_chars,
+                   CAST(bucket AS BIGINT) AS bucket
+            FROM (SELECT doc_id, lang, n_chars,
+                         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                         1, 8))::UBIGINT % 100 AS bucket
+                  FROM documents)
+            WHERE bucket < CASE WHEN lang = 'en' THEN 30 ELSE 10 END
         """,
         "q3_shipping_priority": """
             SELECT l_orderkey,

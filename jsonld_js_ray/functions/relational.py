@@ -599,3 +599,51 @@ def events_sliding_window(events_ds, window_s: int = 3600,
     return (events_ds.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("_ub").map_groups(bucket_windows,
                                        batch_format="pandas"))
+
+
+def topk_per_group(part_ds, k: int = 3):
+    """Per-group top-k (window-rank shape): map-side partial top-k per
+    brand inside each batch (the only rows that can survive globally),
+    then one small groupby over the per-batch survivors — the shuffle
+    moves O(k × brands × batches), never the full table."""
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["p_retailprice", "p_partkey"],
+                            ascending=[False, True], kind="stable")
+        return pa.Table.from_pandas(df.groupby("p_brand").head(k),
+                                    preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["p_retailprice", "p_partkey"],
+                          ascending=[False, True], kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (part_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("p_brand")
+            .map_groups(final, batch_format="pandas")
+            .map_batches(lambda t: t, batch_format="pyarrow"))
+
+
+def stratified_sample(docs_ds, rate_en: int = 30, rate_other: int = 10):
+    """Deterministic hash-stratified sampling: keep a doc when
+    md5(str(doc_id)) % 100 falls under its language's rate. The
+    decision is a pure row function — no shuffle, no RNG state, same
+    sample at any parallelism (and resumable for free)."""
+    import hashlib
+
+    def sample(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        buckets = np.fromiter(
+            (int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % 100
+             for d in df["doc_id"]),
+            dtype=np.int64, count=len(df))
+        rates = np.where(df["lang"].to_numpy() == "en",
+                         rate_en, rate_other)
+        out = df.loc[buckets < rates, ["doc_id", "lang", "n_chars"]]
+        out = out.copy()
+        out["bucket"] = buckets[buckets < rates]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return docs_ds.map_batches(sample, batch_format="pyarrow")
