@@ -129,6 +129,17 @@ def emit_event(options: dict, code: str, message: str, level: str = "warning"):
     options.setdefault("_events", []).append(event)
 
 
+def _replay_events(options: dict, events: list) -> None:
+    """Re-emit events captured while a (now-cached) context was first
+    processed — cached context event replay (reference
+    ContextResolver/events; misc.js 'cached context event replay'):
+    a later caller must see the same warnings/safe-mode errors as the
+    caller that paid for the processing."""
+    for ev in events:
+        emit_event(options, ev["code"], ev["message"],
+                   ev.get("level", "warning"))
+
+
 class ActiveContext:
     __slots__ = ("mappings", "base", "original_base", "vocab",
                  "default_language", "default_direction", "processing_mode",
@@ -220,7 +231,17 @@ def process_context(active_ctx: ActiveContext, local_ctx, options: dict,
         if cache_key is not None:
             cached = resolver_for_cache.get_processed(cache_key)
             if cached is not None:
-                return cached
+                processed, captured = cached
+                _replay_events(options, captured)
+                return processed
+
+    # capture events emitted while building a cacheable result so a
+    # cache hit can REPLAY them to its caller (misc.js 'cached context
+    # event replay'); the capture dict shares everything but _events
+    outer_options = options
+    if cache_key is not None:
+        options = dict(options)
+        options["_events"] = []
 
     ctxs = local_ctx if isinstance(local_ctx, list) else [local_ctx]
     result = active_ctx
@@ -279,19 +300,26 @@ def process_context(active_ctx: ActiveContext, local_ctx, options: dict,
                        propagate)
             cached = resolver.get_processed(url_key)
             if cached is not None:
-                result = cached
+                processed, captured = cached
+                # cached context event replay (handlers run again)
+                _replay_events(options, captured)
+                result = processed
                 continue
             remote_doc = resolver.resolve(url)
             loaded_ctx = remote_doc["context"]
             inner_opts = dict(options)
             inner_opts["_context_base"] = remote_doc.get("documentUrl", url)
+            inner_opts["_events"] = []
             processed = process_context(
                 result, loaded_ctx, inner_opts,
                 override_protected=override_protected,
                 propagate=propagate,
                 validate_scoped=validate_scoped,
                 remote_contexts=remote_contexts + [url])
-            resolver.put_processed(url_key, processed)
+            captured = inner_opts["_events"]
+            resolver.put_processed(url_key, (processed, list(captured)))
+            # handlers already ran live — only accumulate upward
+            options.setdefault("_events", []).extend(captured)
             result = processed
             continue
 
@@ -443,7 +471,11 @@ def process_context(active_ctx: ActiveContext, local_ctx, options: dict,
 
         # scoped contexts inside term definitions validated lazily on use
     if cache_key is not None and resolver_for_cache is not None:
-        resolver_for_cache.put_processed(cache_key, result)
+        captured = options.get("_events", [])
+        resolver_for_cache.put_processed(cache_key, (result, list(captured)))
+        # handlers already ran live during processing — only ACCUMULATE
+        # into the caller; handler replay happens on cache hits
+        outer_options.setdefault("_events", []).extend(captured)
     return result
 
 

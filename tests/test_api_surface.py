@@ -299,3 +299,49 @@ def test_real_decode_pillow():
     out = stage(batch)
     assert out.num_rows == 1
     assert len(out.column("features")[0].as_py()) == stage.FEATURE_DIM
+
+
+def test_cached_context_event_replay():
+    """Cached-context event replay (reference misc.js 'cached context
+    event replay'): a processed-context cache hit must re-emit the
+    events recorded when the context was first processed — warnings
+    accumulate for every caller, handlers fire on hits, and a SAFE
+    caller hitting a warm cache still errors."""
+    from jsonld_js_ray.core.expand import expand_document
+    from jsonld_js_ray.core.resolver import ContextResolver
+
+    snapshot = {"https://c.example/l.jsonld":
+                {"@context": {"@language": "en_bad_",
+                              "p": "http://e/p"}}}
+    resolver = ContextResolver(snapshot)
+    doc = {"@context": "https://c.example/l.jsonld",
+           "@id": "urn:a", "p": "v"}
+    for _ in range(2):  # second run is the cache hit
+        opts = {"context_resolver": resolver, "_events": [],
+                "base": None, "processingMode": "json-ld-1.1"}
+        expand_document(doc, opts)
+        assert [e["code"] for e in opts["_events"]] == \
+            ["invalid @language value"]
+    # handler fires on the (now warm) cache hit
+    calls = []
+    opts = {"context_resolver": resolver, "base": None,
+            "processingMode": "json-ld-1.1",
+            "eventHandler": lambda ev, next_h: calls.append(ev)}
+    expand_document(doc, opts)
+    assert len(calls) == 1
+    # safe caller after a non-safe caller warmed the cache still raises
+    with pytest.raises(JsonLdError) as ei:
+        expand_document(doc, {"context_resolver": resolver,
+                              "base": None, "safe": True,
+                              "processingMode": "json-ld-1.1"})
+    assert ei.value.code == "invalid @language value"
+    # inline (doc-ctx) cache path replays too
+    resolver2 = ContextResolver({})
+    doc2 = {"@context": {"@language": "bad_tag_"},
+            "@id": "urn:a", "http://e/p": "v"}
+    for _ in range(2):
+        opts = {"context_resolver": resolver2, "_events": [],
+                "base": None, "processingMode": "json-ld-1.1"}
+        expand_document(doc2, opts)
+        assert [e["code"] for e in opts["_events"]] == \
+            ["invalid @language value"]
