@@ -195,7 +195,8 @@ def _doc_minhash_near_dup(sf_dir: str):
     from jsonld_js_ray.functions.dedup_text import (
         jaccard_verify, minhash_candidate_pairs)
     docs = _docs(sf_dir)
-    pairs = minhash_candidate_pairs(docs, pair_mode="all")
+    pairs = minhash_candidate_pairs(docs, pair_mode="all",
+                                    global_dedup=False)
     return jaccard_verify(docs, pairs, threshold=0.5)
 
 
@@ -212,7 +213,7 @@ def _doc_simhash_near_dup(sf_dir: str):
 def _doc_near_dup_components(sf_dir: str):
     from jsonld_js_ray.functions.dedup_text import (
         connected_components, minhash_candidate_pairs)
-    pairs = minhash_candidate_pairs(_docs(sf_dir))
+    pairs = minhash_candidate_pairs(_docs(sf_dir), global_dedup=False)
     return connected_components(pairs)
 
 

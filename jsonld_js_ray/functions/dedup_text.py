@@ -137,11 +137,14 @@ def _bucket_all_pairs(group: pd.DataFrame, cap: int = 64) -> pd.DataFrame:
 
 def minhash_candidate_pairs(docs_ds, num_perm=64, bands=16, k=5,
                             pair_mode: str = "min_anchor",
-                            bucket_cap: int = 64):
+                            bucket_cap: int = 64,
+                            global_dedup: bool = True):
     """LSH candidate pairs (a < b), deduplicated.
 
     pair_mode="min_anchor": star edges per bucket (for components).
-    pair_mode="all": all within-bucket pairs, capped (for verify)."""
+    pair_mode="all": all within-bucket pairs, capped (for verify).
+    global_dedup=False skips the cross-bucket pair-key shuffle for
+    consumers that tolerate duplicate pairs."""
     banded = docs_ds.map_batches(
         MinHasher, fn_constructor_kwargs={
             "num_perm": num_perm, "bands": bands, "k": k},
@@ -198,13 +201,21 @@ def minhash_candidate_pairs(docs_ds, num_perm=64, bands=16, k=5,
         df = b.to_pandas().drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
+    pairs = pairs.map_batches(drop_dup_pairs, batch_format="pyarrow")
+    if not global_dedup:
+        # batch-local dedup only: cross-bucket duplicates survive, for
+        # consumers that tolerate them — jaccard_verify dedups inside
+        # its own pair-bucket groupby (side-aware) and connected
+        # components is invariant to duplicate edges. Skipping the
+        # pair-key shuffle removes one all-to-all from the query.
+        return pairs
+
     # global pair dedup via coarse-bucket shuffle
     def add_bucket(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
         df["pb"] = ((df["a"] * 1000003 + df["b"]) % 64).astype("int32")
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    pairs = pairs.map_batches(drop_dup_pairs, batch_format="pyarrow")
     pairs = pairs.map_batches(add_bucket, batch_format="pyarrow")
     pairs = pairs.groupby("pb").map_groups(
         lambda g: g.drop_duplicates(subset=["a", "b"]),
@@ -235,11 +246,14 @@ def jaccard_verify(docs_ds, pairs_ds, threshold: float = 0.8, k: int = 5):
         a = batch.column("a").to_numpy(zero_copy_only=False)
         b = batch.column("b").to_numpy(zero_copy_only=False)
         doc = np.concatenate([a, b])
+        side = np.concatenate([np.zeros(len(a), dtype=np.int32),
+                               np.ones(len(b), dtype=np.int32)])
         return pa.table({
             "db": pa.array(doc % NB, pa.int64()),
             "doc_id": pa.array(doc, pa.int64()),
             "a": pa.array(np.concatenate([a, a]), pa.int64()),
             "b": pa.array(np.concatenate([b, b]), pa.int64()),
+            "side": pa.array(side, pa.int32()),
             "text": pa.array([None] * (2 * len(a)), pa.string()),
         })
 
@@ -252,6 +266,7 @@ def jaccard_verify(docs_ds, pairs_ds, threshold: float = 0.8, k: int = 5):
             "doc_id": doc,
             "a": pa.array(np.full(n, -1), pa.int64()),
             "b": pa.array(np.full(n, -1), pa.int64()),
+            "side": pa.array(np.full(n, -1, dtype=np.int32), pa.int32()),
             "text": batch.column("text").cast(pa.string()),
         })
 
@@ -266,6 +281,7 @@ def jaccard_verify(docs_ds, pairs_ds, threshold: float = 0.8, k: int = 5):
         if pair_rows.empty:
             return pd.DataFrame({"a": pd.Series(dtype="int64"),
                                  "b": pd.Series(dtype="int64"),
+                                 "side": pd.Series(dtype="int32"),
                                  "sh": pd.Series(dtype="object")})
         needed = set(pair_rows["doc_id"])
         doc_rows = g[(g["a"] < 0) & g["doc_id"].isin(needed)]
@@ -273,9 +289,9 @@ def jaccard_verify(docs_ds, pairs_ds, threshold: float = 0.8, k: int = 5):
             "doc_id": doc_rows["doc_id"].astype("int64"),
             "sh": [_shingles(str(t), k).tobytes()
                    for t in doc_rows["text"]]})
-        m = pair_rows[["doc_id", "a", "b"]].merge(blobs, on="doc_id",
-                                                  how="inner")
-        return m[["a", "b", "sh"]]
+        m = pair_rows[["doc_id", "a", "b", "side"]].merge(
+            blobs, on="doc_id", how="inner")
+        return m[["a", "b", "side", "sh"]]
 
     sides = (need.union(docs).groupby("db")
              .map_groups(attach_shingles, batch_format="pandas")
@@ -298,17 +314,19 @@ def jaccard_verify(docs_ds, pairs_ds, threshold: float = 0.8, k: int = 5):
                               "jaccard": pd.Series(dtype="float64")})
         if g.empty:
             return empty
-        g = g.sort_values(["a", "b"], kind="stable")
+        # duplicate candidate pairs (cross-bucket LSH dups, shipped
+        # when the producer skipped its global dedup shuffle) collapse
+        # HERE on (a, b, side) — the blob per side is deterministic
+        g = g.drop_duplicates(subset=["a", "b", "side"])
+        g = g.sort_values(["a", "b", "side"], kind="stable")
         a = g["a"].to_numpy(dtype=np.int64)
         bcol = g["b"].to_numpy(dtype=np.int64)
-        # adjacent rows with equal (a, b) are the two sides of a pair
-        # (each (a, b) occurs at most twice — one blob per side)
-        m = (a[:-1] == a[1:]) & (bcol[:-1] == bcol[1:])
+        side = g["side"].to_numpy(dtype=np.int64)
+        # adjacent rows with equal (a, b) and side 0|1 are a pair's
+        # two blobs (side order fixed by the sort)
+        m = (a[:-1] == a[1:]) & (bcol[:-1] == bcol[1:]) \
+            & (side[:-1] == 0) & (side[1:] == 1)
         lhs = np.flatnonzero(m)
-        if len(lhs) > 1:  # guard double-match runs (defensive)
-            keep = np.ones(len(lhs), dtype=bool)
-            keep[1:] = lhs[1:] != lhs[:-1] + 1
-            lhs = lhs[keep]
         if not len(lhs):
             return empty
         blobs = g["sh"].to_numpy()
