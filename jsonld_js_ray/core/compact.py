@@ -615,9 +615,15 @@ def compact(active_ctx: ActiveContext, active_property: Optional[str],
                     wrapper = {}
                     alias = compact_iri(active_ctx, "@graph",
                                         relative_to_vocab=True)
-                    if not isinstance(compacted_item, list):
-                        compacted_item = [compacted_item] \
-                            if not compact_arrays else compacted_item
+                    # inner @graph value singleton-collapses under
+                    # compactArrays (named graph in a @graph-container
+                    # term compacts as {"@graph": {...}, "@id": ...})
+                    if isinstance(compacted_item, list) \
+                            and len(compacted_item) == 1 and compact_arrays:
+                        compacted_item = compacted_item[0]
+                    elif not isinstance(compacted_item, list) \
+                            and not compact_arrays:
+                        compacted_item = [compacted_item]
                     wrapper[alias] = compacted_item
                     if "@id" in expanded_item:
                         id_alias = compact_iri(active_ctx, "@id",

@@ -436,8 +436,10 @@ def process_context(active_ctx: ActiveContext, local_ctx, options: dict,
         # @direction
         if "@direction" in ctx:
             if not _ctx_1_1(result):
+                # NOTE: this one is 'member', not 'entry'
+                # (context.js:288-293)
                 raise JsonLdError("@direction requires JSON-LD 1.1.",
-                                  "invalid context entry")
+                                  "invalid context member")
             direction = ctx["@direction"]
             if direction is None:
                 result.default_direction = None

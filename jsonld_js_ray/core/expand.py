@@ -342,6 +342,16 @@ def _expand_object(active_ctx, active_property, element, result, nests,
 
         if expanded_property == "@included":
             if active_ctx.processing_mode == "json-ld-1.0":
+                # 1.0 mode: NOT rejected and NOT dropped — the 1.1 guard
+                # (expand.js:666) just fails, so @included falls through
+                # to the generic property path: value expands normally
+                # with no node-object validation
+                inc = expand(active_ctx, key, value, options)
+                if inc is None:
+                    continue
+                if not isinstance(inc, list):
+                    inc = [inc]
+                result.setdefault("@included", []).extend(inc)
                 continue
             # expand with the CURRENT active property (reference
             # expand.js:666-672) — with activeProperty None a scalar
@@ -485,16 +495,19 @@ def _expand_object(active_ctx, active_property, element, result, nests,
         term_def = active_ctx.mappings.get(key) or {}
         container = term_def.get("@container", [])
 
-        if term_def.get("@type") == "@json":
-            expanded_value = [{"@value": value, "@type": "@json"}]
-            expanded_value = expanded_value[0]
-        elif "@language" in container and isinstance(value, dict):
+        if "@language" in container and isinstance(value, dict):
             expanded_value = _expand_language_map(active_ctx, key, value,
                                                   term_def, options)
         elif (isinstance(value, dict)
               and any(c in container for c in ("@index", "@type", "@id"))):
+            # container maps take precedence over @json coercion
+            # (expand.js:860-918: the @json branch is the FALLBACK else;
+            # an index map under a @json term expands per entry, with
+            # @json applying to each scalar entry value)
             expanded_value = _expand_index_map(
                 active_ctx, key, value, term_def, container, options)
+        elif term_def.get("@type") == "@json":
+            expanded_value = {"@value": value, "@type": "@json"}
         else:
             is_list_container = "@list" in container
             if is_list_container and (active_property == "@graph"
