@@ -610,7 +610,9 @@ def compact(active_ctx: ActiveContext, active_property: Optional[str],
                             len(compacted_item) > 1:
                         compacted_item = {"@included": compacted_item}
                     add_value_compact(nest_result, nest_prop,
-                                      compacted_item, as_array)
+                                      compacted_item,
+                                      "@set" in container
+                                      or not compact_arrays)
                 else:
                     wrapper = {}
                     alias = compact_iri(active_ctx, "@graph",
@@ -634,8 +636,11 @@ def compact(active_ctx: ActiveContext, active_property: Optional[str],
                         idx_alias = compact_iri(active_ctx, "@index",
                                                 relative_to_vocab=True)
                         wrapper[idx_alias] = expanded_item["@index"]
+                    # graph objects use the plain propertyIsArray
+                    # rule (compact.js:530-535) — no @graph forcing
                     add_value_compact(nest_result, nest_prop, wrapper,
-                                      as_array)
+                                      "@set" in container
+                                      or not compact_arrays)
                 continue
 
             if ("@language" in container or "@index" in container

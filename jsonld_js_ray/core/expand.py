@@ -25,6 +25,32 @@ _FRAME_KEYWORDS = {"@default", "@embed", "@explicit", "@omitDefault",
                    "@requireAll"}
 
 
+def _drop_unsafe_object(v, options, frame_expansion=False):
+    """Reference _dropUnsafeObject (expand.js:396-437): empty objects,
+    @value/@list objects, and only-@id objects are unsafe outside
+    lists; returns None when dropped (with the reference's per-shape
+    event codes), else the value."""
+    if not isinstance(v, dict) or frame_expansion:
+        return v
+    if len(v) == 0:
+        emit_event(options, "empty object", "Dropping empty object.")
+        return None
+    if "@value" in v:
+        emit_event(options, "object with only @value",
+                   "Dropping object with only @value.")
+        return None
+    if "@list" in v:
+        emit_event(options, "object with only @list",
+                   "Dropping object with only @list.")
+        return None
+    if len(v) == 1 and "@id" in v \
+            and not options.get("keepFreeFloatingNodes"):
+        emit_event(options, "object with only @id",
+                   "Dropping object with only @id.")
+        return None
+    return v
+
+
 def expand(active_ctx: ActiveContext, active_property: Optional[str],
            element, options: dict, inside_list: bool = False,
            from_map: bool = False) -> Any:
@@ -525,11 +551,19 @@ def _expand_object(active_ctx, active_property, element, result, nests,
                 expanded_value = [expanded_value]
             expanded_value = {"@list": expanded_value}
 
-        # graph container wrapping (simple @graph container only)
+        # graph container wrapping (simple @graph container only):
+        # unsafe items (scalars-turned-values, empty, only-@id) drop
+        # BEFORE wrapping, and an all-dropped property is skipped
+        # entirely (expand.js:955-971)
         if ("@graph" in container and "@id" not in container
                 and "@index" not in container):
             ev = expanded_value if isinstance(expanded_value, list) \
                 else [expanded_value]
+            if not frame_expansion:
+                ev = [v for v in ev
+                      if _drop_unsafe_object(v, options) is not None]
+            if not ev:
+                continue
             expanded_value = [
                 v if is_graph(v) else {"@graph": [v]} for v in ev]
 
