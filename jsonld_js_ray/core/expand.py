@@ -266,21 +266,8 @@ def _post_process(active_ctx, active_property, element, result, options,
                 or expand_iri(active_ctx, active_property,
                               vocab_mode=True, options=options) == "@graph"
                 or "@graph" in _ap_container):
-            if len(return_val) == 0 and not frame_expansion:
-                emit_event(options, "empty object",
-                           "Dropping empty object.")
-                return None
-            if (("@value" in return_val or "@list" in return_val)
-                    and not frame_expansion):
-                emit_event(options, "free-floating value",
-                           "Dropping free-floating value/list object.")
-                return None
-            if (len(return_val) == 1 and "@id" in return_val
-                    and not frame_expansion
-                    and not options.get("keepFreeFloatingNodes")):
-                emit_event(options, "object with only @id",
-                           "Dropping node with only @id.")
-                return None
+            if not frame_expansion:
+                return _drop_unsafe_object(return_val, options)
     return return_val
 
 
@@ -488,11 +475,19 @@ def _expand_object(active_ctx, active_property, element, result, nests,
             continue
 
         if expanded_property == "@list":
-            if active_property is None or active_property == "@graph":
-                emit_event(options, "free-floating list",
-                           "Dropping free-floating @list.")
-                continue
-            ev = expand(active_ctx, active_property, value, options,
+            # no early drop: items expand first (scalars under a
+            # top-level/graph-level @list emit their own free-floating
+            # events), and the resulting {"@list": []} object is
+            # dropped by the top-level unsafe filter with code
+            # 'object with only @list' (expand.js:906-916 + :396-437)
+            next_ap = active_property
+            if active_property == "@graph" or (
+                    active_property is not None
+                    and expand_iri(active_ctx, active_property,
+                                   vocab_mode=True,
+                                   options=options) == "@graph"):
+                next_ap = None
+            ev = expand(active_ctx, next_ap, value, options,
                         inside_list=True)
             if not isinstance(ev, list):
                 ev = [ev] if ev is not None else []
