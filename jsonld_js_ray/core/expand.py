@@ -92,8 +92,11 @@ def expand(active_ctx: ActiveContext, active_property: Optional[str],
         container = (term_def or {}).get("@container", [])
         inside_list = inside_list or "@list" in container
         for item in element:
+            # from_map survives the array hop (reference propagates
+            # insideIndex through array recursion) so an index-map
+            # item's type-scoped context is not reverted
             expanded = expand(active_ctx, active_property, item, options,
-                              inside_list=False)
+                              inside_list=False, from_map=from_map)
             if inside_list and isinstance(expanded, list):
                 expanded = {"@list": expanded}
             if expanded is None:
