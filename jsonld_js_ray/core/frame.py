@@ -335,12 +335,12 @@ def _match_frame(state, subjects, frame, parent, active_property,
             state["bnodeMap"].setdefault(sid, []).append(output)
         link[sid] = output
 
-        # @first/@last are JSON-LD 1.0 embed modes; invalid in 1.1
-        # (cf. reference frame.js:130-135)
-        if embed in ("@first", "@last") \
-                and options.get("processingMode") != "json-ld-1.0":
-            raise JsonLdError(f"Invalid value of @embed: {embed}.",
-                              "invalid @embed value")
+        # @first/@last are the JSON-LD 1.0 embed modes. The reference's
+        # 1.1 rejection (frame.js:130-135) NEVER fires: it reads
+        # `state.is11` but the flag is only ever set on `state.options`
+        # (jsonld.js:479 sets opts.is11; the frame state object has no
+        # is11 member) — so the reference accepts these modes in every
+        # processing mode, and so do we (differential fm079/fm080).
 
         if not embedded and sid in unique_embeds:
             # already embedded inside another top-level node
