@@ -873,7 +873,10 @@ def expand_iri(active_ctx: ActiveContext, value, *,
     if vocab_mode and active_ctx.vocab is not None:
         return active_ctx.vocab + value
     if base_mode:
-        if active_ctx.base is not None:
+        # a FALSY base ('' or null) preserves the value unresolved
+        # (context.js:1136-1143: `if(activeCtx['@base'])` — the empty
+        # string keeps relative references relative)
+        if active_ctx.base:
             return prepend_base(active_ctx.base, value)
         return value
     return value

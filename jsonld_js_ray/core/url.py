@@ -124,7 +124,13 @@ def prepend_base(base, iri: str) -> str:
     b = parse_url(base) if isinstance(base, str) else base
     r = parse_url(iri)
 
-    if r.scheme is not None:
+    # a scheme'd reference counts as absolute ONLY when it passes the
+    # strict no-whitespace absolute-IRI test — the reference's
+    # prependBase (url.js:63-71) gates on isAbsolute and otherwise
+    # resolves RELATIVE with the base's scheme, discarding the parsed
+    # scheme (so "urn:has space" resolves to <base-dir>/has space)
+    from .keywords import is_absolute_iri
+    if r.scheme is not None and is_absolute_iri(iri):
         scheme = r.scheme
         authority = r.authority if r.has_authority else None
         path = remove_dot_segments(r.path)
