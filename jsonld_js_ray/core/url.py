@@ -178,9 +178,10 @@ def remove_base(base, iri: str) -> str:
 
     base_segments = b.path.split("/")
     iri_segments = r.path.split("/")
-    # keep last segment of base only if it's a real (non-empty) filename and
-    # the iri has no fragment/query pointing at it
-    last = 0 if (b.has_fragment or b.has_query) else 1
+    # the final segment may also be consumed when the IRI carries a
+    # fragment or query (url.js:261: `last = (rel.fragment || rel.query)
+    # ? 0 : 1`) — so <base>#frag relativizes to just "#frag"
+    last = 0 if (r.has_fragment or r.has_query) else 1
     while (len(base_segments) > 0 and len(iri_segments) > last
            and base_segments[0] == iri_segments[0]):
         base_segments.pop(0)
