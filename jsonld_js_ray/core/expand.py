@@ -693,6 +693,12 @@ def _expand_index_map(active_ctx, key, value, term_def, container, options):
                         # @index is legal on value objects)
                         item["@index"] = idx
             elif "@id" in container:
+                if is_value(item):
+                    # value objects cannot take an @id from the map key
+                    # (expand.js:1248-1254 — thrown even for @none keys)
+                    raise JsonLdError(
+                        'Attempt to add illegal key to value object: '
+                        '"@id".', "invalid value object")
                 if expanded_idx != "@none" and "@id" not in item:
                     item["@id"] = expand_iri(active_ctx, idx,
                                              base_mode=True, options=options)

@@ -173,6 +173,12 @@ def _object_to_rdf(item, options, issuer=None, quads=None, graph_term=None):
 
     value = item["@value"]
     datatype = item.get("@type")
+    if isinstance(datatype, list):
+        # a @type-container map key prepended onto a VALUE object leaves
+        # a LIST @type (both engines, expand.js:1240-1246 has no isValue
+        # guard); the reference then uses it as the literal datatype via
+        # implicit JS Array→string coercion (comma-join) — mirror that
+        datatype = ",".join(str(d) for d in datatype)
     language = item.get("@language")
     direction = item.get("@direction")
     rdf_direction = options.get("rdfDirection")

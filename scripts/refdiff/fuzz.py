@@ -1,0 +1,236 @@
+"""Seeded differential fuzzer: generate structured random JSON-LD
+documents from a feature grammar, run expand/flatten/toRDF through BOTH
+this kernel and the reference (refrun.js), and report divergences.
+
+Usage:
+    python scripts/refdiff/fuzz.py [N] [start-seed]
+
+Every case is reproducible from its seed. Known documented divergences
+are excluded by construction (no Object.prototype term names, no
+rdfDirection=compound-literal, no N-Quads-side shapes). A divergence
+prints the seed + op + both outputs; exit code 1 if any diverge.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import subprocess
+import sys
+import pathlib
+
+HERE = pathlib.Path(__file__).parent
+REPO = HERE.parent.parent
+sys.path.insert(0, str(REPO))
+
+from jsonld_js_ray import api  # noqa: E402
+from jsonld_js_ray.core.canonize import canonize as canonize_nquads  # noqa: E402
+from jsonld_js_ray.core.errors import JsonLdError  # noqa: E402
+from jsonld_js_ray.core.nquads import parse as parse_nquads  # noqa: E402
+
+EX = "http://fuzz.example/"
+TERMS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+LANGS = ["en", "fr", "de", "ar"]
+TYPES = ["T1", "T2", "T3"]
+CONTAINERS = [None, "@set", "@list", "@index", "@language", "@id",
+              "@type", "@graph", ["@graph", "@index"],
+              ["@graph", "@id"], ["@index", "@set"]]
+COERCIONS = [None, "@id", "@vocab", "@json",
+             "http://www.w3.org/2001/XMLSchema#integer",
+             "http://www.w3.org/2001/XMLSchema#date"]
+
+
+def gen_context(rng: random.Random) -> dict:
+    ctx: dict = {"@version": 1.1}
+    if rng.random() < 0.7:
+        ctx["@vocab"] = EX
+    if rng.random() < 0.3:
+        ctx["@language"] = rng.choice(LANGS)
+    if rng.random() < 0.15:
+        ctx["@direction"] = rng.choice(["ltr", "rtl"])
+    if rng.random() < 0.2:
+        ctx["@base"] = "http://base.example/dir/"
+    for term in rng.sample(TERMS, rng.randint(2, len(TERMS))):
+        if rng.random() < 0.35:
+            ctx[term] = EX + term
+            continue
+        td: dict = {"@id": EX + term}
+        container = rng.choice(CONTAINERS)
+        if container:
+            td["@container"] = container
+        coerce = rng.choice(COERCIONS)
+        # @json cannot combine with @container @language/@id/@type here
+        if coerce and not (coerce == "@json" and container not in
+                           (None, "@set", "@index")):
+            td["@type"] = coerce
+        if rng.random() < 0.15 and "@type" not in td:
+            td["@language"] = rng.choice(LANGS + [None])
+        if rng.random() < 0.1:
+            td["@context"] = {"inner" + term: EX + "scoped/" + term}
+        if rng.random() < 0.1 and container is None:
+            td.pop("@id")
+            td["@reverse"] = EX + "rev/" + term
+        ctx[term] = td
+    for t in TYPES:
+        if rng.random() < 0.3:
+            ctx[t] = {"@id": EX + "type/" + t}
+            if rng.random() < 0.5:
+                ctx[t]["@context"] = {"scoped" + t: EX + "ts/" + t}
+    return ctx
+
+
+def gen_value(rng: random.Random, depth: int):
+    r = rng.random()
+    if r < 0.25:
+        return rng.choice(["s1", "s2", "ünïcode", ""])
+    if r < 0.35:
+        return rng.choice([0, 1, -5, 3.25, 1e21, True, False])
+    if r < 0.45:
+        vo = {"@value": rng.choice(["v", 7, True])}
+        if rng.random() < 0.5 and isinstance(vo["@value"], str):
+            vo["@language"] = rng.choice(LANGS)
+        elif rng.random() < 0.3:
+            vo["@type"] = EX + "DT"
+        return vo
+    if r < 0.55:
+        return {"@id": rng.choice(["urn:x", "urn:y", EX + "node",
+                                   "_:b" + str(rng.randint(0, 2))])}
+    if depth <= 0:
+        return "leaf"
+    return gen_node(rng, depth - 1)
+
+
+def gen_node(rng: random.Random, depth: int) -> dict:
+    node: dict = {}
+    if rng.random() < 0.7:
+        node["@id"] = rng.choice(
+            ["urn:n" + str(rng.randint(0, 5)),
+             EX + "n" + str(rng.randint(0, 5)),
+             "_:b" + str(rng.randint(0, 3))])
+    if rng.random() < 0.4:
+        node["@type"] = rng.sample(TYPES, rng.randint(1, 2)) \
+            if rng.random() < 0.3 else rng.choice(TYPES)
+    for term in rng.sample(TERMS, rng.randint(1, 3)):
+        r = rng.random()
+        if r < 0.15 and depth > 0:
+            node[term] = {"k" + str(rng.randint(0, 2)):
+                          gen_value(rng, depth - 1)
+                          for _ in range(rng.randint(1, 2))}
+        elif r < 0.3:
+            node[term] = [gen_value(rng, depth - 1)
+                          for _ in range(rng.randint(1, 3))]
+        else:
+            node[term] = gen_value(rng, depth - 1)
+    if rng.random() < 0.15 and depth > 0:
+        node["@graph"] = [gen_node(rng, depth - 1)]
+    if rng.random() < 0.1 and depth > 0:
+        node["@reverse"] = {EX + "rp": {"@id": "urn:rev"}}
+    if rng.random() < 0.1:
+        node["@index"] = "idx" + str(rng.randint(0, 2))
+    return node
+
+
+def gen_doc(seed: int) -> dict:
+    rng = random.Random(seed)
+    doc = gen_node(rng, rng.randint(1, 3))
+    doc["@context"] = gen_context(rng)
+    return doc
+
+
+def run_reference(reqs: list) -> list:
+    proc = subprocess.run(
+        ["node", str(HERE / "refrun.js")],
+        input=json.dumps(reqs).encode(),
+        env={"NODE_PATH": str(HERE / "node_modules"),
+             "PATH": "/usr/bin:/bin"},
+        capture_output=True, check=True)
+    return [json.loads(line) for line in proc.stdout.splitlines()]
+
+
+def run_mine(op: str, doc, options: dict):
+    try:
+        if op == "expand":
+            return {"result": api.expand(doc, dict(options))}
+        if op == "flatten":
+            return {"result": api.flatten(doc, None, dict(options))}
+        if op == "toRDF":
+            return {"result": api.to_nquads(doc, dict(options))}
+        raise ValueError(op)
+    except JsonLdError as e:
+        return {"errorCode": e.code}
+    except RecursionError:
+        return {"errorCode": "recursion"}
+
+
+def _strip_direction(x):
+    """Known divergence #22 (NOTES_r4): the reference's
+    _cloneActiveContext (context.js:1418-1439) copies @base/@language/
+    @vocab but NOT @direction, silently losing the default base
+    direction after any scoped-context clone; this port keeps it per
+    spec. Strip @direction from value objects to test equality
+    modulo that reference bug."""
+    if isinstance(x, dict):
+        return {k: _strip_direction(v) for k, v in x.items()
+                if not (k == "@direction" and "@value" in x)}
+    if isinstance(x, list):
+        return [_strip_direction(v) for v in x]
+    return x
+
+
+def compare(op, ref, mine):
+    if "errorCode" in ref or "errorCode" in mine:
+        # fuzz compares error PRESENCE, not code strings (reference
+        # codes for generator-made invalid shapes vary / fall back to
+        # messages)
+        return ("errorCode" in ref) == ("errorCode" in mine)
+    if op == "toRDF":
+        try:
+            return (canonize_nquads(parse_nquads(mine["result"]))
+                    == canonize_nquads(parse_nquads(ref["result"])))
+        except JsonLdError:
+            # both serializers emit fuzz-made garbage language tags
+            # verbatim (reference behavior); when the strict parser
+            # rejects them, fall back to exact line-set comparison
+            return (sorted(set(mine["result"].splitlines()))
+                    == sorted(set(ref["result"].splitlines())))
+    if ref["result"] == mine["result"]:
+        return True
+    # equality modulo the reference's lost default @direction
+    # (known divergence #22) counts as a match
+    return (_strip_direction(ref["result"])
+            == _strip_direction(mine["result"]))
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    start = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    ops = ["expand", "flatten", "toRDF"]
+    base = "https://fuzz.example/doc.jsonld"
+    seeds = list(range(start, start + n))
+    docs = {s: gen_doc(s) for s in seeds}
+    reqs = []
+    for s in seeds:
+        for op in ops:
+            reqs.append({"op": op, "input": docs[s],
+                         "options": {"base": base}})
+    refs = run_reference(reqs)
+    n_match = n_diff = 0
+    i = 0
+    for s in seeds:
+        for op in ops:
+            ref = refs[i]; i += 1
+            mine = run_mine(op, docs[s], {"base": base})
+            if compare(op, ref, mine):
+                n_match += 1
+            else:
+                n_diff += 1
+                print(f"DIVERGE seed={s} op={op}")
+                print("  ref :", json.dumps(ref, sort_keys=True)[:400])
+                print("  mine:", json.dumps(mine, sort_keys=True)[:400])
+    print(f"{n_match} match, {n_diff} diverge "
+          f"({n} docs x {len(ops)} ops, seeds {start}..{start + n - 1})")
+    sys.exit(1 if n_diff else 0)
+
+
+if __name__ == "__main__":
+    main()
