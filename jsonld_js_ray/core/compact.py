@@ -140,6 +140,11 @@ def compact_iri(active_ctx: ActiveContext, iri: Optional[str],
     """IRI Compaction (spec §4.5.2; cf. reference compact.js:671-941)."""
     if iri is None:
         return iri
+    if not isinstance(iri, str):
+        # garbage-shape tolerance mirroring the reference: a non-string
+        # "IRI" (e.g. the LIST @type a @type-map key leaves on a value
+        # object) falls through compactIri unchanged
+        return iri
     if is_keyword(iri):
         # keyword aliases resolve through the inverse context (e.g. a
         # term "id" mapped to "@id")
@@ -315,38 +320,44 @@ def compact_value(active_ctx, active_property, value, options):
         # a term typed @type: @none never collapses values
         # (cf. reference compact.js:968, :996-999)
         if not preserve_index and type_mapping != "@none":
-            if type_mapping in ("@id", "@vocab") and "@id" in value:
-                pass  # handled by node-reference path
-            if value.get("@type") == type_mapping and "@type" in value:
+            # the reference's FOUR collapse clauses, in order
+            # (compact.js:969-984): type match; language AND direction
+            # match; language match ALONE; direction match ALONE — the
+            # last collapses even when a (garbage) @language disagrees
+            eff_lang = (td.get("@language") if td.get("_has_language")
+                        else active_ctx.default_language)
+            eff_dir = (td.get("@direction") if td.get("_has_direction")
+                       else active_ctx.default_direction)
+            if ("@type" in value and isinstance(value["@type"], str)
+                    and type_mapping is not None
+                    and value["@type"] == type_mapping):
                 return value["@value"]
-            if (language is not None
-                    and (td.get("@language") == language
-                         if td.get("_has_language")
-                         else active_ctx.default_language == language)):
-                eff_dir = (td.get("@direction") if td.get("_has_direction")
-                           else active_ctx.default_direction)
-                if direction == eff_dir:
-                    return value["@value"]
-            if language is None and direction is not None:
-                eff_dir = (td.get("@direction") if td.get("_has_direction")
-                           else active_ctx.default_direction)
-                if direction == eff_dir and "@type" not in value:
-                    return value["@value"]
-        if (language is None and direction is None
-                and "@type" not in value and not preserve_index
-                and type_mapping != "@none"):
-            v = value["@value"]
-            if not isinstance(v, str):
-                return v
-            if (not td.get("_has_language")
-                    and active_ctx.default_language is None
-                    and not td.get("_has_direction")
-                    and active_ctx.default_direction is None):
-                return v
-            if td.get("_has_language") and td.get("@language") is None \
-                    and not (td.get("_has_direction")
-                             and td.get("@direction")):
-                return v
+            if ("@language" in value and language == eff_lang
+                    and "@direction" in value and direction == eff_dir):
+                return value["@value"]
+            if "@language" in value and language == eff_lang:
+                return value["@value"]
+            if "@direction" in value and direction == eff_dir:
+                return value["@value"]
+        # bare-@value rule, mirrored EXACTLY from compact.js:986-999:
+        # value-only (or value+unpreserved-@index), term not @none, and
+        # (no DEFAULT language | non-string value | term @language:null).
+        # NOTE the reference never consults @direction here — a plain
+        # string compacts bare even under a default @direction (lossy
+        # on re-expansion, but it is the parity target)
+        key_count = len(value)
+        is_value_only = (key_count == 1
+                         or (key_count == 2 and "@index" in value
+                             and not preserve_index))
+        has_default_language = active_ctx.default_language is not None
+        is_value_string = isinstance(value["@value"], str)
+        has_null_mapping = (active_property in active_ctx.mappings
+                            and td.get("_has_language")
+                            and td.get("@language") is None)
+        if (is_value_only and type_mapping != "@none"
+                and (not has_default_language or not is_value_string
+                     or has_null_mapping)):
+            return value["@value"]
         # keep as object, compacting keys
         rval = {}
         for k, v in value.items():
@@ -591,10 +602,10 @@ def compact(active_ctx: ActiveContext, active_property: Optional[str],
             if is_graph(expanded_item):
                 if "@graph" in container and "@id" in container:
                     map_object = nest_result.setdefault(nest_prop, {})
-                    key = expanded_item.get("@id")
-                    key = compact_iri(active_ctx, key) if key else \
-                        compact_iri(active_ctx, "@none",
-                                    relative_to_vocab=True)
+                    # the RAW expanded graph name is the map key — no
+                    # compaction/relativization (compact.js:472-475)
+                    key = expanded_item.get("@id") or compact_iri(
+                        active_ctx, "@none", relative_to_vocab=True)
                     add_value_compact(map_object, key, compacted_item,
                                       "@set" in container)
                 elif "@graph" in container and "@index" in container \
@@ -630,8 +641,8 @@ def compact(active_ctx: ActiveContext, active_property: Optional[str],
                     if "@id" in expanded_item:
                         id_alias = compact_iri(active_ctx, "@id",
                                                relative_to_vocab=True)
-                        wrapper[id_alias] = compact_iri(
-                            active_ctx, expanded_item["@id"])
+                        # raw expanded graph name (compact.js:518-520)
+                        wrapper[id_alias] = expanded_item["@id"]
                     if "@index" in expanded_item:
                         idx_alias = compact_iri(active_ctx, "@index",
                                                 relative_to_vocab=True)
@@ -661,18 +672,11 @@ def compact(active_ctx: ActiveContext, active_property: Optional[str],
                             idx_alias = compact_iri(
                                 active_ctx, "@index",
                                 relative_to_vocab=True)
+                            # the reference ONLY deletes the index key
+                            # (compact.js:561-563) — a leftover
+                            # {"@id": x} singleton stays an OBJECT,
+                            # never collapsing to a bare string
                             compacted_item.pop(idx_alias, None)
-                            if len(compacted_item) == 1 and \
-                                    compact_arrays:
-                                only = next(iter(compacted_item))
-                                ek = expand_iri(active_ctx, only,
-                                                vocab_mode=True,
-                                                options=options)
-                                if ek == "@id":
-                                    compacted_item = compact(
-                                        active_ctx, item_active_property,
-                                        {"@id": expanded_item["@id"]},
-                                        options)
                     else:
                         # property-based index: the RAW term-definition
                         # @index value is used as the key into the

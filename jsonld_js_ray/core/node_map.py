@@ -45,13 +45,24 @@ class IdentifierIssuer:
         return c
 
 
+def _js_eq(a, b) -> bool:
+    """JS === semantics for scalars: booleans never equal numbers
+    (Python's 0 == False must not count as a duplicate)."""
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    return a == b
+
+
 def _compare_values(v1, v2) -> bool:
     """Value equality for dedup inside node merge
-    (cf. reference util.js:376-400)."""
-    if v1 == v2:
+    (cf. reference util.js:376-400; scalar compare is JS ===)."""
+    if _js_eq(v1, v2) and not (isinstance(v1, (dict, list))
+                               or isinstance(v2, (dict, list))):
+        return True
+    if v1 is v2:
         return True
     if is_value(v1) and is_value(v2):
-        return (v1.get("@value") == v2.get("@value")
+        return (_js_eq(v1.get("@value"), v2.get("@value"))
                 and v1.get("@type") == v2.get("@type")
                 and v1.get("@language") == v2.get("@language")
                 and v1.get("@index") == v2.get("@index"))

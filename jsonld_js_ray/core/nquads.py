@@ -48,7 +48,11 @@ def serialize_quad(q: Quad) -> str:
     parts.append(p if p.startswith("_:") else f"<{p}>")
     if o_kind == OBJ_LITERAL:
         lit = f'"{_escape(o_value)}"'
-        if language:
+        # language prints ONLY for rdf:langString datatypes; a literal
+        # carrying both a datatype and a language (garbage value
+        # objects from @type-map keys) serializes as a typed literal
+        # (rdf-canonize NQuads serializeQuad semantics)
+        if language and (datatype is None or datatype == RDF_LANGSTRING):
             lit += f"@{language}"
         elif datatype and datatype != XSD_STRING:
             lit += f"^^<{datatype}>"

@@ -155,6 +155,9 @@ def run_mine(op: str, doc, options: dict):
             return {"result": api.flatten(doc, None, dict(options))}
         if op == "toRDF":
             return {"result": api.to_nquads(doc, dict(options))}
+        if op == "compact":
+            return {"result": api.compact(doc, options["_ctx"],
+                                          dict(options))}
         raise ValueError(op)
     except JsonLdError as e:
         return {"errorCode": e.code}
@@ -204,22 +207,32 @@ def compare(op, ref, mine):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     start = int(sys.argv[2]) if len(sys.argv) > 2 else 0
-    ops = ["expand", "flatten", "toRDF"]
+    ops = ["expand", "flatten", "toRDF", "compact"]
     base = "https://fuzz.example/doc.jsonld"
     seeds = list(range(start, start + n))
     docs = {s: gen_doc(s) for s in seeds}
     reqs = []
     for s in seeds:
         for op in ops:
-            reqs.append({"op": op, "input": docs[s],
-                         "options": {"base": base}})
+            if op == "compact":
+                # round-trip: compact the document back onto its own
+                # context (reference compact expands internally)
+                reqs.append({"op": op, "input": docs[s],
+                             "context": docs[s]["@context"],
+                             "options": {"base": base}})
+            else:
+                reqs.append({"op": op, "input": docs[s],
+                             "options": {"base": base}})
     refs = run_reference(reqs)
     n_match = n_diff = 0
     i = 0
     for s in seeds:
         for op in ops:
             ref = refs[i]; i += 1
-            mine = run_mine(op, docs[s], {"base": base})
+            opts = {"base": base}
+            if op == "compact":
+                opts["_ctx"] = docs[s]["@context"]
+            mine = run_mine(op, docs[s], opts)
             if compare(op, ref, mine):
                 n_match += 1
             else:
