@@ -14,8 +14,8 @@ from typing import Any, Optional
 from .context import ActiveContext, expand_iri, process_context
 from .errors import JsonLdError
 from .keywords import (
-    is_graph, is_keyword, is_list, is_simple_graph, is_subject_reference,
-    is_value,
+    KEYWORD_LIKE_RE, is_graph, is_keyword, is_list, is_simple_graph,
+    is_subject_reference, is_value,
 )
 from .node_map import add_value
 from .url import remove_base
@@ -141,11 +141,26 @@ def compact_iri(active_ctx: ActiveContext, iri: Optional[str],
     if iri is None:
         return iri
     if not isinstance(iri, str):
-        # garbage-shape tolerance mirroring the reference: a non-string
-        # "IRI" (e.g. the LIST @type a @type-map key leaves on a value
-        # object) falls through compactIri unchanged
-        return iri
-    if is_keyword(iri):
+        # garbage-shape tolerance mirroring the reference: a LIST "IRI"
+        # (e.g. the @type a @type-map key leaves on a value object) is
+        # coerced JS-style for the inverse-context lookup — a
+        # single-element array behaves as its element ("a,b" joining
+        # otherwise) — and anything unresolved falls through unchanged
+        if isinstance(iri, list) and relative_to_vocab:
+            joined = ",".join(str(x) for x in iri)
+            if joined in inverse_context(active_ctx):
+                # run term selection on the coerced key, but return the
+                # ORIGINAL list when no term matches (the reference's
+                # post-selection string ops are no-ops on arrays and it
+                # falls through to `return iri` — the array)
+                term = compact_iri(active_ctx, joined, value=value,
+                                   relative_to_vocab=True,
+                                   reverse=reverse, base=base)
+                return term if term != joined else iri
+            return iri
+        else:
+            return iri
+    if relative_to_vocab and is_keyword(iri):
         # keyword aliases resolve through the inverse context (e.g. a
         # term "id" mapped to "@id")
         inv = inverse_context(active_ctx)
@@ -158,8 +173,11 @@ def compact_iri(active_ctx: ActiveContext, iri: Optional[str],
                     if term is not None:
                         return term
         return iri
-    if iri.startswith("@"):
+    if relative_to_vocab and iri.startswith("@"):
         return iri
+    # non-vocab mode: keyword-LIKE strings (e.g. a garbage @id of
+    # "@graph") fall through to base relativization, whose ./ guard
+    # disambiguates them (compact.js:930-933)
 
     if relative_to_vocab and iri in inverse_context(active_ctx):
         # build preferred containers / type-language from value shape
@@ -239,11 +257,20 @@ def compact_iri(active_ctx: ActiveContext, iri: Optional[str],
             else:
                 type_language = "@type"
                 type_language_value = "@id"
-                containers.extend(["@id", "@id@set", "@type", "@set@type"])
+                # node-OBJECT values get the id/type map candidates
+                # (compact.js:738-740: gated on _isObject && !_isValue —
+                # an IRI compacted with NO value, e.g. a @type value,
+                # must NOT match a term stored only under @id/@type
+                # containers)
+                if isinstance(value, dict):
+                    containers.extend(["@id", "@id@set", "@type",
+                                       "@set@type"])
             containers.append("@set")
         containers.append("@none")
-        # 1.1: @index-less values can use index containers
-        if not (isinstance(value, dict) and "@index" in value):
+        # @index-less OBJECT values can use index containers
+        # (compact.js:838-841: gated on _isObject — an IRI compacted
+        # with NO value, e.g. a @type value, never matches index maps)
+        if isinstance(value, dict) and "@index" not in value:
             containers.extend(["@index", "@index@set"])
         if is_value(value) and len(value) == 1:
             containers.extend(["@language", "@language@set"])
@@ -300,10 +327,18 @@ def compact_iri(active_ctx: ActiveContext, iri: Optional[str],
 
     # direct term match even without inverse hit (e.g. keyword aliases)
     if not relative_to_vocab:
+        rel = None
         if active_ctx.base is not None:
-            return remove_base(active_ctx.base, iri)
-        if base is not None:
-            return remove_base(base, iri)
+            rel = remove_base(active_ctx.base, iri)
+        elif base is not None:
+            rel = remove_base(base, iri)
+        if rel is not None:
+            # a relativized IRI that LOOKS like a keyword gets a ./
+            # prefix so it can't be mistaken for one on re-expansion
+            # (compact.js:930-933)
+            if KEYWORD_LIKE_RE.match(rel):
+                rel = "./" + rel
+            return rel
     return iri
 
 
@@ -358,11 +393,15 @@ def compact_value(active_ctx, active_property, value, options):
                 and (not has_default_language or not is_value_string
                      or has_null_mapping)):
             return value["@value"]
-        # keep as object, compacting keys
+        # keep as object, compacting keys. @language is copied ONLY
+        # when there is no @type (compact.js:1011-1026: else-if) —
+        # garbage values carrying both drop the language
         rval = {}
         for k, v in value.items():
             if k == "@type":
                 v = compact_iri(active_ctx, v, relative_to_vocab=True)
+            elif k == "@language" and "@type" in value:
+                continue
             alias = compact_iri(active_ctx, k, relative_to_vocab=True)
             rval[alias] = v
         return rval

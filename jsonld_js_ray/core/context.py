@@ -164,13 +164,22 @@ class ActiveContext:
         self._uuid = ActiveContext._counter
 
     def clone(self) -> "ActiveContext":
+        # NOTE: default_direction is deliberately NOT copied — the
+        # reference's _cloneActiveContext (context.js:1418-1439) copies
+        # @base/@language/@vocab but not @direction, so the default base
+        # direction silently resets on every context-object processing
+        # step (a reference bug this port mirrors for parity; NOTES_r4
+        # divergence #22 records the spec-correct alternative)
         c = ActiveContext(self.base, self.processing_mode)
         c.original_base = self.original_base
         c.mappings = dict(self.mappings)
         c.vocab = self.vocab
         c.default_language = self.default_language
-        c.default_direction = self.default_direction
-        c.previous_context = self.previous_context
+        # the previous context is CLONED too (context.js:1425-1427),
+        # so the whole revert chain loses @direction the same way
+        c.previous_context = (self.previous_context.clone()
+                              if self.previous_context is not None
+                              else None)
         return c
 
     def get_mapping(self, term):

@@ -616,9 +616,18 @@ def _expand_language_map(active_ctx, key, value, term_def, options):
     """Language map expansion (spec §5.1.2 step 13.7;
     cf. reference expand.js:1141-1188)."""
     rval = []
-    direction = term_def.get("@direction",
-                             active_ctx.default_direction) \
-        if term_def.get("_has_direction") else active_ctx.default_direction
+    # direction comes from the TERM context (expand.js:861-862 passes
+    # getContextValue(termCtx, ...)): when the term carries a scoped
+    # context, processing it goes through the reference's
+    # direction-dropping clone, so the DEFAULT direction never reaches
+    # language-map entries of scoped terms
+    term_ctx = active_ctx
+    if "@context" in term_def:
+        term_ctx = process_context(active_ctx, term_def["@context"],
+                                   options, override_protected=True)
+    direction = (term_def.get("@direction")
+                 if term_def.get("_has_direction")
+                 else term_ctx.default_direction)
     for lang in sorted(value.keys()):
         items = value[lang]
         if not isinstance(items, list):

@@ -174,24 +174,27 @@ def create_node_map(element, graph_map: dict, active_graph: str,
                               f"{node_id!r}.", "conflicting indexes")
         node["@index"] = element["@index"]
 
-    if "@reverse" in element:
-        referenced = {"@id": node_id}
-        for prop, values in element["@reverse"].items():
-            for value in values:
-                create_node_map(value, graph_map, active_graph, issuer,
-                                referenced, prop)
-
-    if "@graph" in element:
-        graph_map.setdefault(node_id, {})
-        create_node_map(element["@graph"], graph_map, node_id, issuer)
-
-    if "@included" in element:
-        create_node_map(element["@included"], graph_map, active_graph,
-                        issuer)
-
+    # ONE lexicographic pass over every key (nodeMap.js:120+ iterates
+    # Object.keys(input).sort() with @reverse/@graph/@included handled at
+    # their sorted positions) — the blank-node issuer order, and thus
+    # the flattened labels, depend on this exact interleaving
     for prop in sorted(element.keys()):
-        if prop in ("@id", "@type", "@index", "@reverse", "@graph",
-                    "@included"):
+        if prop in ("@id", "@type", "@index"):
+            continue
+        if prop == "@reverse":
+            referenced = {"@id": node_id}
+            for rprop, values in element["@reverse"].items():
+                for value in values:
+                    create_node_map(value, graph_map, active_graph,
+                                    issuer, referenced, rprop)
+            continue
+        if prop == "@graph":
+            graph_map.setdefault(node_id, {})
+            create_node_map(element["@graph"], graph_map, node_id, issuer)
+            continue
+        if prop == "@included":
+            create_node_map(element["@included"], graph_map, active_graph,
+                            issuer)
             continue
         if is_keyword(prop):
             if prop == "@value":

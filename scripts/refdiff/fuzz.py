@@ -165,21 +165,6 @@ def run_mine(op: str, doc, options: dict):
         return {"errorCode": "recursion"}
 
 
-def _strip_direction(x):
-    """Known divergence #22 (NOTES_r4): the reference's
-    _cloneActiveContext (context.js:1418-1439) copies @base/@language/
-    @vocab but NOT @direction, silently losing the default base
-    direction after any scoped-context clone; this port keeps it per
-    spec. Strip @direction from value objects to test equality
-    modulo that reference bug."""
-    if isinstance(x, dict):
-        return {k: _strip_direction(v) for k, v in x.items()
-                if not (k == "@direction" and "@value" in x)}
-    if isinstance(x, list):
-        return [_strip_direction(v) for v in x]
-    return x
-
-
 def compare(op, ref, mine):
     if "errorCode" in ref or "errorCode" in mine:
         # fuzz compares error PRESENCE, not code strings (reference
@@ -196,12 +181,7 @@ def compare(op, ref, mine):
             # rejects them, fall back to exact line-set comparison
             return (sorted(set(mine["result"].splitlines()))
                     == sorted(set(ref["result"].splitlines())))
-    if ref["result"] == mine["result"]:
-        return True
-    # equality modulo the reference's lost default @direction
-    # (known divergence #22) counts as a match
-    return (_strip_direction(ref["result"])
-            == _strip_direction(mine["result"]))
+    return ref["result"] == mine["result"]
 
 
 def main():
