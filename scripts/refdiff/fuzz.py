@@ -147,6 +147,27 @@ def run_reference(reqs: list) -> list:
     return [json.loads(line) for line in proc.stdout.splitlines()]
 
 
+def gen_frame(seed: int, doc: dict) -> dict:
+    """A deterministic frame derived from the document's own shapes."""
+    rng = random.Random(seed * 31 + 7)
+    frame: dict = {"@context": doc["@context"]}
+    r = rng.random()
+    if r < 0.3:
+        frame["@type"] = rng.choice(TYPES)
+    elif r < 0.6:
+        frame[rng.choice(TERMS)] = {}
+    elif r < 0.8:
+        frame["@type"] = {}
+    # else: wildcard frame (context only)
+    if rng.random() < 0.3:
+        frame["@embed"] = rng.choice(["@once", "@always", "@never"])
+    if rng.random() < 0.2:
+        frame["@explicit"] = True
+    if rng.random() < 0.2:
+        frame[rng.choice(TERMS)] = {"@default": "filled"}
+    return frame
+
+
 def run_mine(op: str, doc, options: dict):
     try:
         if op == "expand":
@@ -158,6 +179,9 @@ def run_mine(op: str, doc, options: dict):
         if op == "compact":
             return {"result": api.compact(doc, options["_ctx"],
                                           dict(options))}
+        if op == "frame":
+            return {"result": api.frame(doc, options["_frame"],
+                                        dict(options))}
         raise ValueError(op)
     except JsonLdError as e:
         return {"errorCode": e.code}
@@ -187,7 +211,7 @@ def compare(op, ref, mine):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     start = int(sys.argv[2]) if len(sys.argv) > 2 else 0
-    ops = ["expand", "flatten", "toRDF", "compact"]
+    ops = ["expand", "flatten", "toRDF", "compact", "frame"]
     base = "https://fuzz.example/doc.jsonld"
     seeds = list(range(start, start + n))
     docs = {s: gen_doc(s) for s in seeds}
@@ -199,6 +223,10 @@ def main():
                 # context (reference compact expands internally)
                 reqs.append({"op": op, "input": docs[s],
                              "context": docs[s]["@context"],
+                             "options": {"base": base}})
+            elif op == "frame":
+                reqs.append({"op": op, "input": docs[s],
+                             "frame": gen_frame(s, docs[s]),
                              "options": {"base": base}})
             else:
                 reqs.append({"op": op, "input": docs[s],
@@ -212,6 +240,8 @@ def main():
             opts = {"base": base}
             if op == "compact":
                 opts["_ctx"] = docs[s]["@context"]
+            elif op == "frame":
+                opts["_frame"] = gen_frame(s, docs[s])
             mine = run_mine(op, docs[s], opts)
             if compare(op, ref, mine):
                 n_match += 1
