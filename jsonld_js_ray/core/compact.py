@@ -186,8 +186,14 @@ def compact_iri(active_ctx: ActiveContext, iri: Optional[str],
         type_language_value = "@null"
 
         if isinstance(value, dict) and "@index" in value \
-                and not is_graph(value):
+                and "@graph" not in value:
             containers.extend(["@index", "@index@set"])
+        # a @preserve wrapper (framing) selects terms by its WRAPPED
+        # value — unwrapped AFTER the @index check above, so a string
+        # "@null" payload gets no index/id/type-map candidates and can
+        # fall through to IRI compaction (compact.js:711-713)
+        if isinstance(value, dict) and "@preserve" in value:
+            value = value["@preserve"][0]
         if reverse:
             type_language = "@type"
             type_language_value = "@reverse"
@@ -327,18 +333,21 @@ def compact_iri(active_ctx: ActiveContext, iri: Optional[str],
 
     # direct term match even without inverse hit (e.g. keyword aliases)
     if not relative_to_vocab:
-        rel = None
-        if active_ctx.base is not None:
+        # three modes keyed on whether a LOCAL context set @base
+        # (compact.js:926-936, `'@base' in activeCtx`):
+        if active_ctx.has_ctx_base:
+            if not active_ctx.base:
+                # explicit @base null — keep potentially-relative IRIs
+                return iri
             rel = remove_base(active_ctx.base, iri)
-        elif base is not None:
-            rel = remove_base(base, iri)
-        if rel is not None:
-            # a relativized IRI that LOOKS like a keyword gets a ./
-            # prefix so it can't be mistaken for one on re-expansion
-            # (compact.js:930-933)
+            # only THIS branch guards keyword-like relativizations with
+            # ./ so they can't be mistaken for keywords on re-expansion
             if KEYWORD_LIKE_RE.match(rel):
                 rel = "./" + rel
             return rel
+        eff = active_ctx.base if active_ctx.base is not None else base
+        if eff is not None:
+            return remove_base(eff, iri)
     return iri
 
 

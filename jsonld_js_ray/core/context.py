@@ -141,7 +141,8 @@ def _replay_events(options: dict, events: list) -> None:
 
 
 class ActiveContext:
-    __slots__ = ("mappings", "base", "original_base", "vocab",
+    __slots__ = ("mappings", "base", "original_base", "has_ctx_base",
+                 "vocab",
                  "default_language", "default_direction", "processing_mode",
                  "previous_context", "_inverse", "_curie_index", "_uuid",
                  "is_initial")
@@ -152,6 +153,11 @@ class ActiveContext:
         self.mappings: dict[str, dict] = {}
         self.base = base
         self.original_base = base
+        # True once a LOCAL context explicitly carried "@base" — the
+        # reference keys compaction's base-relativization mode off
+        # `'@base' in activeCtx` (compact.js:926-936): explicit @base
+        # gets the ./ keyword guard, a bare options base does not
+        self.has_ctx_base = False
         self.vocab: Optional[str] = None
         self.default_language: Optional[str] = None
         self.default_direction: Optional[str] = None
@@ -172,6 +178,7 @@ class ActiveContext:
         # divergence #22 records the spec-correct alternative)
         c = ActiveContext(self.base, self.processing_mode)
         c.original_base = self.original_base
+        c.has_ctx_base = self.has_ctx_base
         c.mappings = dict(self.mappings)
         c.vocab = self.vocab
         c.default_language = self.default_language
@@ -385,6 +392,7 @@ def process_context(active_ctx: ActiveContext, local_ctx, options: dict,
         # embedded contexts)
         if "@base" in ctx:
             base = ctx["@base"]
+            result.has_ctx_base = True
             if base is None:
                 result.base = None
             elif not isinstance(base, str):

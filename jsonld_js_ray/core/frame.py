@@ -17,7 +17,7 @@ from .compact import compact_document
 from .context import expand_iri, initial_context, process_context
 from .errors import JsonLdError
 from .expand import expand_document
-from .keywords import is_keyword, is_list, is_value
+from .keywords import is_absolute_iri, is_keyword, is_list, is_value
 from .node_map import (IdentifierIssuer, create_node_map,
                        merge_node_map_graphs)
 
@@ -40,6 +40,13 @@ def frame_document(document, frame_doc, options: dict):
     frame_ctx = frame_doc.get("@context", {}) if isinstance(frame_doc, dict)\
         else {}
     expanded_frame = expand_document(frame_doc, frame_opts)
+    # the expanded frame must be a single node object, with valid
+    # @id/@type patterns (frame.js:78 via _validateFrame)
+    if len(expanded_frame) != 1:
+        raise JsonLdError(
+            "Invalid JSON-LD syntax; a JSON-LD frame must be a single "
+            "object.", "jsonld.SyntaxError")
+    _validate_frame_object(expanded_frame[0])
 
     # if the unexpanded frame includes a key expanding to @graph, frame
     # the default graph, otherwise the merged graph
@@ -132,6 +139,34 @@ def _get_frame_flag(frame, options, name):
     return options.get(name if name != "embed" else "embed")
 
 
+def _validate_frame_object(tf) -> None:
+    """Reference _validateFrame (frame.js:446-476), applied per property
+    subframe from the subject filter (frame.js:574): @id values must be
+    wildcards or absolute IRIs (never blank nodes), @type values must be
+    wildcards, absolute IRIs, or @json."""
+    if not isinstance(tf, dict):
+        raise JsonLdError(
+            "Invalid JSON-LD syntax; a JSON-LD frame must be a single "
+            "object.", "jsonld.SyntaxError")
+    if "@id" in tf:
+        ids = tf["@id"]
+        for i in (ids if isinstance(ids, list) else [ids]):
+            if not (isinstance(i, dict) or is_absolute_iri(i)) or \
+                    (isinstance(i, str) and i.startswith("_:")):
+                raise JsonLdError(
+                    "Invalid JSON-LD syntax; invalid @id in frame.",
+                    "invalid frame")
+    if "@type" in tf:
+        ts = tf["@type"]
+        for t in (ts if isinstance(ts, list) else [ts]):
+            if not (isinstance(t, dict) or is_absolute_iri(t)
+                    or t == "@json") or \
+                    (isinstance(t, str) and t.startswith("_:")):
+                raise JsonLdError(
+                    "Invalid JSON-LD syntax; invalid @type in frame.",
+                    "invalid frame")
+
+
 def _node_matches_frame(state, subject: dict, frame: dict, options) -> bool:
     """Frame Matching (framing spec §3.2): match on @id / @type, otherwise
     duck-typing where the node must have the frame's properties. Observable
@@ -179,6 +214,10 @@ def _node_matches_frame(state, subject: dict, frame: dict, options) -> bool:
             continue
         else:
             this_frame = frame_values[0] if frame_values else None
+            # each property subframe is validated on use — JS-truthy
+            # gate (frame.js:572-576)
+            if _js_truthy(this_frame):
+                _validate_frame_object(this_frame)
             has_default = (isinstance(this_frame, dict)
                            and "@default" in this_frame)
             wildcard = False
@@ -258,7 +297,9 @@ def _value_pattern_match(pattern: dict, value) -> bool:
 
     def plist(k):
         pv = pattern.get(k)
-        if not pv:  # JS truthiness: absent / null / '' / 0 / false
+        # JS truthiness: absent/null/''/0/false are empty, but {} and
+        # [] are TRUTHY ({} is the @value wildcard — fuzz seed 767)
+        if not _js_truthy(pv):
             return []
         return pv if isinstance(pv, list) else [pv]
 
@@ -300,8 +341,18 @@ def _match_frame(state, subjects, frame, parent, active_property,
     whether a top-level match is emitted, and the unique-embed set resets
     per top-level match (frame.js:103-141)."""
     options = state["options"]
-    frame_obj = frame[0] if isinstance(frame, list) and frame else (
-        frame if isinstance(frame, dict) else {})
+    # every recursion validates its frame on entry (frame.js:76-79):
+    # a single object, with legal @id/@type patterns
+    if isinstance(frame, list):
+        if len(frame) != 1:
+            raise JsonLdError(
+                "Invalid JSON-LD syntax; a JSON-LD frame must be a "
+                "single object.", "jsonld.SyntaxError")
+        _validate_frame_object(frame[0])
+        frame_obj = frame[0]
+    else:
+        frame_obj = frame if isinstance(frame, dict) else {}
+        _validate_frame_object(frame_obj)
     embed = _get_frame_flag(frame_obj, options, "embed")
     explicit = _get_frame_flag(frame_obj, options, "explicit")
 
@@ -401,26 +452,37 @@ def _match_frame(state, subjects, frame, parent, active_property,
                 continue
             implicit = {"@embed": [embed], "@explicit": [explicit]}
             for o in objects:
-                sub_frame = frame_obj.get(prop)
-                if isinstance(sub_frame, list):
-                    sub_frame = sub_frame[0] if sub_frame else {}
-                if sub_frame is None:
-                    # implicit frame carries the parent's flags
-                    # (cf. frame.js _createImplicitFrame)
-                    sub_frame = implicit
+                # the subframe stays a RAW array through recursion so
+                # entry validation sees multi-pattern / garbage shapes
+                # the way the reference does (frame.js:228-231,258-260)
+                raw_sub = frame_obj.get(prop)
+                if raw_sub is None:
+                    sub_frame_arr: list = [implicit]
+                elif isinstance(raw_sub, list):
+                    sub_frame_arr = raw_sub
+                else:
+                    sub_frame_arr = [raw_sub]
+                sub_frame = sub_frame_arr[0] if sub_frame_arr else None
 
                 if is_list(o):
                     list_out = {"@list": []}
-                    list_frame = sub_frame.get("@list", [implicit]) \
-                        if isinstance(sub_frame, dict) else [implicit]
-                    if isinstance(list_frame, list) and list_frame:
-                        list_frame = list_frame[0]
-                    elif not isinstance(list_frame, dict):
-                        list_frame = implicit
+                    # frame[prop][0]['@list'] is used whole when JS-
+                    # truthy (empty array INCLUDED — [] is truthy),
+                    # else an implicit frame (frame.js:234-238)
+                    lf = None
+                    if raw_sub is not None and sub_frame_arr \
+                            and isinstance(sub_frame_arr[0], dict):
+                        lf = sub_frame_arr[0].get("@list")
+                    if isinstance(lf, (list, dict)) or _js_truthy(lf):
+                        list_frame_arr = lf if isinstance(lf, list) \
+                            else [lf]
+                    else:
+                        list_frame_arr = [implicit]
                     for item in o["@list"]:
                         if isinstance(item, dict) and "@id" in item \
                                 and not is_value(item):
-                            _match_frame(state, [item["@id"]], [list_frame],
+                            _match_frame(state, [item["@id"]],
+                                         list_frame_arr,
                                          list_out, "@list",
                                          embedded=True)
                         else:
@@ -428,7 +490,7 @@ def _match_frame(state, subjects, frame, parent, active_property,
                     _add_frame_output(output, prop, list_out)
                 elif isinstance(o, dict) and "@id" in o \
                         and not is_value(o):
-                    _match_frame(state, [o["@id"]], [sub_frame], output,
+                    _match_frame(state, [o["@id"]], sub_frame_arr, output,
                                  prop, embedded=True)
                 elif not is_value(o) or not is_value(sub_frame) \
                         or _value_pattern_match(sub_frame, o):
@@ -533,8 +595,16 @@ def _prune_bnodes(element, to_prune: set, _seen: set | None = None):
         if id(element) in _seen:
             return
         _seen.add(id(element))
-        if "@id" in element and element["@id"] in to_prune \
-                and len(element) > 1:
+        # @value objects are skipped whole — an "@id" key inside a
+        # @json literal's payload is DATA, not a node id
+        # (frame.js:707-709; fuzz seed 3216)
+        if is_value(element):
+            return
+        # unconditional: a once-used bnode keeps NO @id even when the
+        # node has no other keys (frame.js:736-740 deletes in-place
+        # without a key-count guard; fuzz seed 20 — @explicit strips
+        # the properties, leaving {} in the output)
+        if "@id" in element and element["@id"] in to_prune:
             del element["@id"]
         for v in element.values():
             _prune_bnodes(v, to_prune, _seen)
@@ -567,12 +637,28 @@ def _cleanup_preserve(element, _memo: dict | None = None):
     return element
 
 
+def _js_truthy(v) -> bool:
+    """JS truthiness for scalars; containers (even empty) are truthy."""
+    if v is None or v is False:
+        return False
+    if isinstance(v, str):
+        return v != ""
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        return not (v == 0 or v != v)  # 0, -0, NaN
+    return True
+
+
 def _cleanup_null(element, _memo: dict | None = None):
     if _memo is None:
         _memo = {}
     if isinstance(element, list):
         out = [_cleanup_null(e, _memo) for e in element]
-        return [e for e in out if e is not None]
+        # the reference's array compaction is `filter(v => v)` — JS
+        # TRUTHINESS, so "", 0, false, NaN fall out of framed arrays
+        # alongside null (frame.js:336-337; fuzz seed 44)
+        return [e for e in out if _js_truthy(e)]
     if isinstance(element, dict):
         if id(element) in _memo:
             return _memo[id(element)]

@@ -1,0 +1,72 @@
+"""Diff one fuzz seed+op in full: prints doc, frame (if any), and a
+minimal structural diff of reference vs ours.
+
+Usage: python scripts/refdiff/one.py SEED [OP]
+"""
+import json
+import sys
+import pathlib
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent))
+import fuzz  # noqa: E402
+
+
+def jdiff(path, a, b, out):
+    if a == b:
+        return
+    if isinstance(a, dict) and isinstance(b, dict):
+        for k in sorted(set(a) | set(b)):
+            if k not in a:
+                out.append(f"{path}.{k}: ONLY-MINE {json.dumps(b[k])[:160]}")
+            elif k not in b:
+                out.append(f"{path}.{k}: ONLY-REF {json.dumps(a[k])[:160]}")
+            else:
+                jdiff(f"{path}.{k}", a[k], b[k], out)
+    elif isinstance(a, list) and isinstance(b, list):
+        if len(a) != len(b):
+            out.append(f"{path}: len ref={len(a)} mine={len(b)}")
+            out.append(f"{path}: ref ={json.dumps(a)[:300]}")
+            out.append(f"{path}: mine={json.dumps(b)[:300]}")
+        else:
+            for i, (x, y) in enumerate(zip(a, b)):
+                jdiff(f"{path}[{i}]", x, y, out)
+    else:
+        out.append(f"{path}: ref={json.dumps(a)[:200]} "
+                   f"mine={json.dumps(b)[:200]}")
+
+
+def main():
+    seed = int(sys.argv[1])
+    ops = [sys.argv[2]] if len(sys.argv) > 2 else ["frame"]
+    base = "https://fuzz.example/doc.jsonld"
+    doc = fuzz.gen_doc(seed)
+    for op in ops:
+        req = {"op": op, "input": doc, "options": {"base": base}}
+        opts = {"base": base}
+        if op == "compact":
+            req["context"] = doc["@context"]
+            opts["_ctx"] = doc["@context"]
+        elif op == "frame":
+            fr = fuzz.gen_frame(seed, doc)
+            req["frame"] = fr
+            opts["_frame"] = fr
+            print("FRAME:", json.dumps(fr, indent=1))
+        ref = fuzz.run_reference([req])[0]
+        mine = fuzz.run_mine(op, doc, opts)
+        print("DOC:", json.dumps(doc, indent=1))
+        if fuzz.compare(op, ref, mine):
+            print(f"seed {seed} {op}: MATCH")
+            continue
+        out: list = []
+        if "result" in ref and "result" in mine:
+            jdiff("$", ref["result"], mine["result"], out)
+            print(f"seed {seed} {op}: DIVERGE")
+            print("\n".join(out))
+        else:
+            print(f"seed {seed} {op}: DIVERGE (error-presence)")
+            print(" ref :", json.dumps(ref)[:400])
+            print(" mine:", json.dumps(mine)[:400])
+
+
+if __name__ == "__main__":
+    main()
