@@ -122,9 +122,11 @@ def _rdf_to_object(o_kind, o_value, datatype, language, options):
         elif datatype == XSD_DOUBLE:
             if _is_js_numeric(o_value):
                 return {"@value": _js_parse_float(o_value)}
-        elif datatype == XSD_STRING or datatype is None:
-            return {"@value": o_value}
-        rval["@type"] = datatype
+        # reference quirk (fromRdf.js:351-377): the xsd:string
+        # suppression lives only in the NON-native path, so under
+        # useNativeTypes plain strings carry an explicit
+        # @type xsd:string (fuzz seeds 46/57)
+        rval["@type"] = datatype or XSD_STRING
         return rval
     if datatype not in (None, XSD_STRING):
         rval["@type"] = datatype
@@ -155,7 +157,13 @@ def from_rdf_quads(quads: list[Quad], options: dict) -> list:
 
     for q in quads:
         s, p, o_kind, o_value, datatype, language, graph = q
+        # reference quirk (fromRdf.js:79-80): the graph NAME is the raw
+        # RDF/JS term value — a blank-node graph label loses its "_:"
+        # prefix in the output ("b1", a relative-looking @id), because
+        # the reference never re-adds it via _nodeId there (fuzz seed 32)
         name = graph if graph else "@default"
+        if name.startswith("_:"):
+            name = name[2:]
         node_map = graph_map.setdefault(name, {})
         if compound_mode and p == RDF_DIRECTION:
             compound_subjects.setdefault(name, {})[s] = True

@@ -168,6 +168,33 @@ def gen_frame(seed: int, doc: dict) -> dict:
     return frame
 
 
+def gen_from_rdf_options(seed: int) -> dict:
+    """Deterministic fromRDF option mix per seed."""
+    rng = random.Random(seed * 97 + 13)
+    opts: dict = {}
+    if rng.random() < 0.5:
+        opts["useNativeTypes"] = True
+    if rng.random() < 0.3:
+        opts["useRdfType"] = True
+    if rng.random() < 0.3:
+        opts["rdfDirection"] = "i18n-datatype"
+    return opts
+
+
+def nquads_for_seed(doc) -> str | None:
+    """Serialize the fuzz doc to N-Quads with THIS kernel as shared
+    transport for fromRDF comparisons (both engines read the same
+    string; the 5-op campaign already proves serializer parity).
+    Returns None when the doc errors or emits fuzz-garbage (e.g.
+    malformed language tags) that a strict parser would reject."""
+    try:
+        nq = api.to_nquads(doc, {"base": "https://fuzz.example/doc.jsonld"})
+        parse_nquads(nq)
+        return nq
+    except (JsonLdError, RecursionError):
+        return None
+
+
 def run_mine(op: str, doc, options: dict):
     try:
         if op == "expand":
@@ -182,6 +209,11 @@ def run_mine(op: str, doc, options: dict):
         if op == "frame":
             return {"result": api.frame(doc, options["_frame"],
                                         dict(options))}
+        if op == "fromRDF":
+            opts = {k: v for k, v in options.items()
+                    if not k.startswith("_")}
+            return {"result": api.from_rdf(
+                parse_nquads(options["_nquads"]), opts)}
         raise ValueError(op)
     except JsonLdError as e:
         return {"errorCode": e.code}
@@ -211,10 +243,13 @@ def compare(op, ref, mine):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     start = int(sys.argv[2]) if len(sys.argv) > 2 else 0
-    ops = ["expand", "flatten", "toRDF", "compact", "frame"]
+    ops = ["expand", "flatten", "toRDF", "compact", "frame", "fromRDF"]
     base = "https://fuzz.example/doc.jsonld"
     seeds = list(range(start, start + n))
     docs = {s: gen_doc(s) for s in seeds}
+    # shared N-Quads transport for the fromRDF round-trip leg; None
+    # when the doc itself errors (those seeds skip the fromRDF op)
+    nqs = {s: nquads_for_seed(docs[s]) for s in seeds}
     reqs = []
     for s in seeds:
         for op in ops:
@@ -228,6 +263,11 @@ def main():
                 reqs.append({"op": op, "input": docs[s],
                              "frame": gen_frame(s, docs[s]),
                              "options": {"base": base}})
+            elif op == "fromRDF":
+                if nqs[s] is None:
+                    continue
+                reqs.append({"op": op, "input": nqs[s],
+                             "options": gen_from_rdf_options(s)})
             else:
                 reqs.append({"op": op, "input": docs[s],
                              "options": {"base": base}})
@@ -236,12 +276,17 @@ def main():
     i = 0
     for s in seeds:
         for op in ops:
+            if op == "fromRDF" and nqs[s] is None:
+                continue
             ref = refs[i]; i += 1
             opts = {"base": base}
             if op == "compact":
                 opts["_ctx"] = docs[s]["@context"]
             elif op == "frame":
                 opts["_frame"] = gen_frame(s, docs[s])
+            elif op == "fromRDF":
+                opts = dict(gen_from_rdf_options(s))
+                opts["_nquads"] = nqs[s]
             mine = run_mine(op, docs[s], opts)
             if compare(op, ref, mine):
                 n_match += 1

@@ -43,7 +43,18 @@ def main():
     for op in ops:
         req = {"op": op, "input": doc, "options": {"base": base}}
         opts = {"base": base}
-        if op == "compact":
+        if op == "fromRDF":
+            nq = fuzz.nquads_for_seed(doc)
+            if nq is None:
+                print(f"seed {seed} fromRDF: SKIP (doc errors)")
+                continue
+            req = {"op": op, "input": nq,
+                   "options": fuzz.gen_from_rdf_options(seed)}
+            opts = dict(fuzz.gen_from_rdf_options(seed))
+            opts["_nquads"] = nq
+            print("NQUADS:", nq)
+            print("OPTS:", json.dumps(req["options"]))
+        elif op == "compact":
             req["context"] = doc["@context"]
             opts["_ctx"] = doc["@context"]
         elif op == "frame":

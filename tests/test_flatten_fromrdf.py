@@ -48,10 +48,15 @@ def test_fromrdf_roundtrip_with_lists():
            "l": {"@list": [1, 2, 3]}, "p": "v"}
     nq = api.to_nquads(doc)
     back = api.from_rdf(nq, {"useNativeTypes": True})
+    # reference quirk: under useNativeTypes the xsd:string suppression
+    # is bypassed (fromRdf.js:351-377 else-branch), so plain strings
+    # carry an explicit @type (verified differentially, fuzz seeds
+    # 46/57)
+    xsd_string = "http://www.w3.org/2001/XMLSchema#string"
     assert back == [{"@id": V + "s",
                      V + "l": [{"@list": [{"@value": 1}, {"@value": 2},
                                           {"@value": 3}]}],
-                     V + "p": [{"@value": "v"}]}]
+                     V + "p": [{"@value": "v", "@type": xsd_string}]}]
 
 
 def test_fromrdf_empty_list():
