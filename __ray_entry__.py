@@ -201,8 +201,11 @@ def _doc_minhash_near_dup(sf_dir: str):
 
 
 def _doc_simhash(sf_dir: str):
+    # md5 hash mode: DuckDB-reproducible (md5_number_lower per token),
+    # giving this query a value-level SQL oracle; the near-dup pipeline
+    # keeps the faster vectorized-siphash mode
     from jsonld_js_ray.functions.dedup_text import simhash_signatures
-    return simhash_signatures(_docs(sf_dir))
+    return simhash_signatures(_docs(sf_dir), hash_mode="md5")
 
 
 def _doc_simhash_near_dup(sf_dir: str):
@@ -605,6 +608,65 @@ def oracle_sql() -> dict[str, str]:
                                                           '\s+'))
                    END AS n_tokens
             FROM documents
+        """,
+        "doc_simhash": r"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9_]+')) AS tok
+                FROM documents)
+            ), h AS (
+              SELECT doc_id, md5_number_lower(tok) AS h64 FROM toks
+            ), votes AS (
+              SELECT doc_id, j,
+                (CASE WHEN 2 * SUM(((h64 >> j) & 1)::BIGINT)
+                           - COUNT(*) > 0
+                      THEN 1::UBIGINT ELSE 0::UBIGINT END) << j AS bitval
+              FROM h CROSS JOIN range(64) t(j)
+              GROUP BY doc_id, j
+            ), sims AS (
+              SELECT doc_id, SUM(bitval) AS s FROM votes GROUP BY doc_id
+            )
+            SELECT d.doc_id AS doc_id,
+                   CAST(COALESCE(s, 0) % 9223372036854775808 AS BIGINT)
+                       AS simhash
+            FROM documents d LEFT JOIN sims USING (doc_id)
+        """,
+        "doc_fingerprint": r"""
+            WITH d AS (
+              SELECT doc_id, text, length(text) AS n FROM documents
+            ), grams AS (
+              SELECT doc_id, i,
+                xor(xor(xor(
+                    ascii(substr(text, i + 1, 1))::UBIGINT * 16777619,
+                    ascii(substr(text, i + 2, 1))::UBIGINT * 31),
+                    ascii(substr(text, i + 3, 1))::UBIGINT * 131),
+                    ascii(substr(text, i + 4, 1))::UBIGINT) AS g,
+                n - 3 AS ng
+              FROM d, unnest(range(n - 3)) t(i)
+              WHERE n >= 4
+            ), winmin AS (
+              SELECT doc_id, i, ng, g,
+                MIN(g) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS BETWEEN CURRENT ROW
+                                      AND 7 FOLLOWING) AS m
+              FROM grams
+            ), agg AS (
+              SELECT doc_id,
+                CASE WHEN MAX(ng) <= 8 THEN MIN(g)::HUGEINT
+                     ELSE SUM(m) FILTER (WHERE i <= ng - 8) END AS fp
+              FROM winmin GROUP BY doc_id
+            ), short AS (
+              SELECT doc_id,
+                COALESCE((SELECT SUM(ascii(substr(text, k + 1, 1)))
+                          FROM unnest(range(n)) u(k)), 0) AS fp
+              FROM d WHERE n < 4
+            )
+            SELECT doc_id,
+                   CAST(fp % 9223372036854775808 AS BIGINT)
+                       AS fingerprint
+            FROM (SELECT * FROM agg UNION ALL SELECT * FROM short)
         """,
         "doc_bpe_token_counts": r'''
             SELECT doc_id,

@@ -367,10 +367,32 @@ class SimHasher:
     tests/test_dedup_text.py carries an independent scalar-python
     re-derivation of the algorithm (same hash primitive) as the oracle."""
 
-    def __init__(self, seed: int = 11):
+    def __init__(self, seed: int = 11, hash_mode: str = "fast"):
         import re
         self.tok = re.compile(r"\w+")
         self.shifts = np.arange(64, dtype=np.uint64)
+        # "fast": pd.util.hash_array (vectorized siphash). "md5": the
+        # DuckDB-reproducible md5_number_lower(token) — last 8 digest
+        # bytes little-endian — memoized per actor (vocabulary-bounded;
+        # capped so adversarial vocab can't grow the heap unboundedly)
+        self.hash_mode = hash_mode
+        self._md5_cache: dict[str, int] = {}
+
+    def _hash_tokens(self, toks: np.ndarray) -> np.ndarray:
+        if self.hash_mode == "fast":
+            return pd.util.hash_array(toks).astype(np.uint64)
+        import hashlib
+        cache = self._md5_cache
+        out = np.empty(len(toks), dtype=np.uint64)
+        for k, t in enumerate(toks):
+            h = cache.get(t)
+            if h is None:
+                h = int.from_bytes(
+                    hashlib.md5(t.encode("utf-8")).digest()[8:], "little")
+                if len(cache) < 1_000_000:
+                    cache[t] = h
+            out[k] = h
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         df = batch.select(["doc_id", "text"]).to_pandas()
@@ -382,8 +404,7 @@ class SimHasher:
             # doc index is non-decreasing -> segment-reduce via reduceat
             pairs = pd.DataFrame({"i": ex.index.to_numpy(),
                                   "tok": ex.to_numpy()}).drop_duplicates()
-            hs = pd.util.hash_array(
-                pairs["tok"].to_numpy()).astype(np.uint64)
+            hs = self._hash_tokens(pairs["tok"].to_numpy())
             # bit j of column j via unpackbits on the little-endian byte
             # view (measured ~100x faster cold than a broadcast shift,
             # which pays a multi-second first-ufunc warmup per process)
@@ -400,8 +421,10 @@ class SimHasher:
                          "simhash": pa.array(out, pa.int64())})
 
 
-def simhash_signatures(docs_ds):
+def simhash_signatures(docs_ds, hash_mode: str = "fast"):
     return docs_ds.map_batches(SimHasher, batch_format="pyarrow",
+                               fn_constructor_kwargs={
+                                   "hash_mode": hash_mode},
                                concurrency=default_concurrency(),
                                num_cpus=1)
 
