@@ -195,6 +195,74 @@ def nquads_for_seed(doc) -> str | None:
         return None
 
 
+CTX_BASE = "https://ctx.example/"
+
+
+def gen_remote_case(seed: int) -> tuple[dict, dict]:
+    """--remote mode: a document whose context chain crosses REMOTE
+    boundaries (snapshot-backed): a leaf context URL, optional @import
+    composition, optional @protected terms, an optional term-scoped
+    remote context, and an optional inline override layered on top.
+    Returns (doc, contexts-snapshot)."""
+    rng = random.Random(seed * 131 + 29)
+    snapshot: dict = {}
+
+    leaf: dict = {"@version": 1.1}
+    if rng.random() < 0.6:
+        leaf["@vocab"] = EX
+    for t in rng.sample(TERMS, rng.randint(2, 4)):
+        if rng.random() < 0.3:
+            td: dict = {"@id": EX + "r/" + t}
+            if rng.random() < 0.5:
+                td["@protected"] = True
+            container = rng.choice(CONTAINERS)
+            if container:
+                td["@container"] = container
+            leaf[t] = td
+        else:
+            leaf[t] = EX + "r/" + t
+    snapshot[CTX_BASE + f"leaf{seed % 7}"] = {"@context": leaf}
+
+    mid: dict = {"@version": 1.1}
+    if rng.random() < 0.5:
+        # @import pulls a 1.0-shaped context into a 1.1 wrapper
+        imported = {t + "Imp": EX + "imp/" + t
+                    for t in rng.sample(TERMS, 2)}
+        snapshot[CTX_BASE + "imported"] = {"@context": imported}
+        mid["@import"] = CTX_BASE + "imported"
+    if rng.random() < 0.4:
+        # term-scoped REMOTE context
+        mid["scopedRemote"] = {
+            "@id": EX + "scopedRemote",
+            "@context": CTX_BASE + f"leaf{seed % 7}"}
+    for t in rng.sample(TERMS, rng.randint(1, 2)):
+        mid[t] = (EX + "mid/" + t if rng.random() < 0.7
+                  else {"@id": EX + "mid/" + t,
+                        "@protected": rng.random() < 0.4})
+    snapshot[CTX_BASE + f"mid{seed % 5}"] = {"@context": mid}
+
+    # context reference the document actually uses
+    r = rng.random()
+    if r < 0.3:
+        ctx_ref: object = CTX_BASE + f"mid{seed % 5}"
+    elif r < 0.6:
+        ctx_ref = [CTX_BASE + f"leaf{seed % 7}",
+                   CTX_BASE + f"mid{seed % 5}"]
+    else:
+        # inline override on top of the remote chain — may clash with
+        # @protected terms (error-presence comparison covers both)
+        override = {rng.choice(TERMS): EX + "override"}
+        if rng.random() < 0.3:
+            override["@version"] = 1.1
+        ctx_ref = [CTX_BASE + f"mid{seed % 5}", override]
+
+    doc = gen_node(rng, rng.randint(1, 2))
+    if rng.random() < 0.3:
+        doc["scopedRemote"] = gen_node(rng, 1)
+    doc["@context"] = ctx_ref
+    return doc, snapshot
+
+
 def run_mine(op: str, doc, options: dict):
     try:
         if op == "expand":
@@ -240,9 +308,57 @@ def compare(op, ref, mine):
     return ref["result"] == mine["result"]
 
 
+def main_remote(n: int, start: int):
+    """--remote mode: remote-context composition fuzzing (snapshot
+    loader on both sides)."""
+    ops = ["expand", "flatten", "toRDF", "compact", "frame"]
+    base = "https://fuzz.example/doc.jsonld"
+    seeds = list(range(start, start + n))
+    cases = {s: gen_remote_case(s) for s in seeds}
+    reqs = []
+    for s in seeds:
+        doc, snapshot = cases[s]
+        for op in ops:
+            req = {"op": op, "input": doc, "options": {"base": base},
+                   "contexts": snapshot}
+            if op == "compact":
+                req["context"] = doc["@context"]
+            elif op == "frame":
+                req["frame"] = gen_frame(s, doc)
+            reqs.append(req)
+    refs = run_reference(reqs)
+    n_match = n_diff = 0
+    i = 0
+    for s in seeds:
+        doc, snapshot = cases[s]
+        for op in ops:
+            ref = refs[i]; i += 1
+            opts = {"base": base, "contexts": snapshot}
+            if op == "compact":
+                opts["_ctx"] = doc["@context"]
+            elif op == "frame":
+                opts["_frame"] = gen_frame(s, doc)
+            mine = run_mine(op, doc, opts)
+            if compare(op, ref, mine):
+                n_match += 1
+            else:
+                n_diff += 1
+                print(f"DIVERGE seed={s} op={op} (remote)")
+                print("  ref :", json.dumps(ref, sort_keys=True)[:400])
+                print("  mine:", json.dumps(mine, sort_keys=True)[:400])
+    print(f"{n_match} match, {n_diff} diverge "
+          f"({n} docs x {len(ops)} remote-ctx ops, "
+          f"seeds {start}..{start + n - 1})")
+    sys.exit(1 if n_diff else 0)
+
+
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
-    start = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(args[0]) if args else 200
+    start = int(args[1]) if len(args) > 1 else 0
+    if "--remote" in sys.argv:
+        main_remote(n, start)
+        return
     ops = ["expand", "flatten", "toRDF", "compact", "frame", "fromRDF"]
     base = "https://fuzz.example/doc.jsonld"
     seeds = list(range(start, start + n))

@@ -345,3 +345,55 @@ def test_near_poison_under_default_budget():
         quads.append(edge(20 + i, i))
     out = assert_invariant(quads)
     assert len(out.splitlines()) == m * m + 2 * m
+
+
+# ------------------------------------------- two-sided iso differential
+
+def _brute_isomorphic(n, e1, e2):
+    """Exhaustive permutation isomorphism check for <=7-node digraphs —
+    an independent TRUE oracle for the 'different structure must yield
+    different canonical form' direction (soundness), which the
+    invariance families above cannot test."""
+    from itertools import permutations
+    if len(e1) != len(e2):
+        return False
+    s2 = set(e2)
+    for p in permutations(range(n)):
+        if all((p[i], p[j]) in s2 for i, j in e1):
+            return True
+    return False
+
+
+def _edge_quads(edges):
+    return [edge(i, j) for i, j in edges]
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_canonical_form_iff_isomorphic(seed):
+    """canonize(G1) == canonize(G2)  <=>  G1 ~ G2, with the RHS decided
+    by brute force. Catches both unsoundness (hash collisions merging
+    distinct structures) and over-distinction (labeling leaking input
+    order) on random digraphs up to 6 nodes."""
+    rng = random.Random(seed)
+    n = rng.randint(3, 6)
+    all_pairs = [(i, j) for i in range(n) for j in range(n) if i != j]
+    m = rng.randint(n - 1, min(len(all_pairs), 2 * n))
+    e1 = rng.sample(all_pairs, m)
+    if seed % 2:
+        # relabeled copy: MUST canonize identically
+        perm = list(range(n))
+        rng.shuffle(perm)
+        e2 = [(perm[i], perm[j]) for i, j in e1]
+        rng.shuffle(e2)
+    else:
+        # perturbed copy: usually non-isomorphic, brute force decides
+        e2 = list(e1)
+        swap = rng.sample(all_pairs, 2)
+        for ed in swap:
+            if ed in e2:
+                e2.remove(ed)
+            else:
+                e2.append(ed)
+    iso = _brute_isomorphic(n, e1, e2)
+    same = canonize(_edge_quads(e1)) == canonize(_edge_quads(e2))
+    assert same == iso, (n, sorted(e1), sorted(e2), iso)

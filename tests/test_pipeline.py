@@ -159,3 +159,71 @@ class TestRayPipeline:
         assert st.loc["a.jsonld", "status"] == "error"
         assert st.loc["b.jsonld", "status"] == "ok"
         assert st.loc["b.jsonld", "n_quads"] == 1
+
+
+class TestEntityLink:
+    def _quads_df(self):
+        import pandas as pd
+        # duplicate occurrences across "documents", two graphs, typed +
+        # language-tagged + IRI values, a hot subject
+        rows = []
+        for rep in range(3):
+            rows += [
+                ("", "urn:hot", "http://p/name", 3, "Alice", None, None),
+                ("", "urn:hot", "http://p/knows", 1, "urn:bob", None, None),
+                ("", "urn:hot", "http://p/age", 3, "30",
+                 "http://www.w3.org/2001/XMLSchema#integer", None),
+                ("", "urn:bob", "http://p/name", 3, "Bob", None, "en"),
+                ("g1", "urn:hot", "http://p/name", 3, "AliceInG1",
+                 None, None),
+            ]
+        rows.append(("", "urn:hot", "http://p/name", 3, "Alias",
+                     None, None))
+        return pd.DataFrame(rows, columns=[
+            "graph", "subject", "predicate", "object_kind",
+            "object_value", "datatype", "language"])
+
+    def _scalar_reference_merge(self, df):
+        """Independent scalar re-derivation: addValue-style value-set
+        union per (graph, subject) using the reference's compareValues
+        equality (tuple equality for RDF-sourced string values)."""
+        nodes = {}
+        for row in df.itertuples(index=False):
+            key = (row.graph, row.subject)
+            props = nodes.setdefault(key, {})
+            tup = (row.predicate, row.object_kind, row.object_value,
+                   row.datatype, row.language)
+            props.setdefault(row.predicate, set()).add(tup)
+        return nodes
+
+    def test_merge_matches_scalar_reference(self):
+        import json
+        import ray.data as rd
+        from jsonld_js_ray.pipelines.entity_link import merge_entities
+        df = self._quads_df()
+        out = merge_entities(rd.from_pandas(df)).to_pandas()
+        ref = self._scalar_reference_merge(df)
+        assert len(out) == len(ref)
+        for row in out.itertuples(index=False):
+            node = json.loads(row.node_json)
+            refprops = ref[(row.graph, row.subject)]
+            # per property: the merged value multiset equals the
+            # distinct tuple set (duplicates collapsed exactly once)
+            got = {p: len(v) for p, v in node.items() if p != "@id"}
+            want = {p: len(v) for p, v in refprops.items()}
+            assert got == want, (row.subject, got, want)
+            assert row.n_values == sum(want.values())
+
+    def test_merge_partition_invariant(self):
+        import ray.data as rd
+        from jsonld_js_ray.pipelines.entity_link import merge_entities
+        df = self._quads_df()
+        outs = []
+        for nblocks in (1, 3, 8):
+            out = (merge_entities(rd.from_pandas(df).repartition(nblocks))
+                   .to_pandas()
+                   .sort_values(["graph", "subject"])
+                   .reset_index(drop=True))
+            outs.append(out)
+        assert outs[0].equals(outs[1])
+        assert outs[0].equals(outs[2])
