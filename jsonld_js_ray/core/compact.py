@@ -136,7 +136,8 @@ def select_term(active_ctx, iri, value, containers, type_language,
 
 def compact_iri(active_ctx: ActiveContext, iri: Optional[str],
                 value=None, relative_to_vocab: bool = False,
-                reverse: bool = False, base=None) -> Optional[str]:
+                reverse: bool = False, base=None,
+                _select_only: bool = False) -> Optional[str]:
     """IRI Compaction (spec §4.5.2; cf. reference compact.js:671-941)."""
     if iri is None:
         return iri
@@ -148,33 +149,48 @@ def compact_iri(active_ctx: ActiveContext, iri: Optional[str],
         # otherwise) — and anything unresolved falls through unchanged
         if isinstance(iri, list) and relative_to_vocab:
             joined = ",".join(str(x) for x in iri)
+            term = None
             if joined in inverse_context(active_ctx):
-                # run term selection on the coerced key, but return the
-                # ORIGINAL list when no term matches (the reference's
-                # post-selection string ops are no-ops on arrays and it
-                # falls through to `return iri` — the array)
+                # term selection on the coerced key ONLY — the
+                # reference's post-selection string ops (vocab suffix,
+                # CURIE trie walk) are no-ops on arrays
                 term = compact_iri(active_ctx, joined, value=value,
                                    relative_to_vocab=True,
-                                   reverse=reverse, base=base)
-                return term if term != joined else iri
+                                   reverse=reverse, base=base,
+                                   _select_only=True)
+            if term is not None:
+                return term
+            # ...until the prefix-confusion scan, where the reference
+            # CRASHES (`iri.startsWith is not a function`) whenever any
+            # prefix-capable term exists (compact.js:916; fuzz seed
+            # 402) — mirrored as a typed error; else the array falls
+            # through unchanged
+            if any(td and td.get("_prefix")
+                   for td in active_ctx.mappings.values()):
+                raise JsonLdError(
+                    "iri.startsWith is not a function (reference "
+                    "TypeError: array-valued IRI reached the "
+                    "prefix-confusion scan)", "TypeError parity")
             return iri
         else:
             return iri
-    if relative_to_vocab and is_keyword(iri):
-        # keyword aliases resolve through the inverse context (e.g. a
-        # term "id" mapped to "@id")
+    if is_keyword(iri):
+        # keyword aliases resolve through the SIMPLE-alias slot of the
+        # inverse context (e.g. a term "id" mapped to "@id") — NOT
+        # gated on vocab mode: even an @id VALUE that is literally
+        # "@id" compacts to the alias (compact.js:692-699 precedes the
+        # vocab branch; fuzz seed 76). On a miss the keyword falls
+        # THROUGH to the ordinary selection below — a container-bearing
+        # alias like {"@id": "@type", "@container": "@set"} is found by
+        # term selection, not by this shortcut (fixture c149).
         inv = inverse_context(active_ctx)
         entry = inv.get(iri)
         if entry is not None:
-            for container in ("@none", "@set"):
-                tl = entry.get(container)
-                if tl is not None:
-                    term = tl["@any"].get("@none")
-                    if term is not None:
-                        return term
-        return iri
-    if relative_to_vocab and iri.startswith("@"):
-        return iri
+            tl = entry.get("@none")
+            if tl is not None:
+                term = tl["@type"].get("@none")
+                if term is not None:
+                    return term
     # non-vocab mode: keyword-LIKE strings (e.g. a garbage @id of
     # "@graph") fall through to base relativization, whose ./ guard
     # disambiguates them (compact.js:930-933)
@@ -307,6 +323,9 @@ def compact_iri(active_ctx: ActiveContext, iri: Optional[str],
                            type_language, preferred)
         if term is not None:
             return term
+    if _select_only:
+        # coerced-list caller: selection miss, no string fallbacks
+        return None
 
     if relative_to_vocab and active_ctx.vocab is not None:
         if iri.startswith(active_ctx.vocab) and iri != active_ctx.vocab:
@@ -330,6 +349,15 @@ def compact_iri(active_ctx: ActiveContext, iri: Optional[str],
             candidate = curie
     if candidate is not None:
         return candidate
+
+    # no CURIE chosen: an IRI that still LOOKS like a CURIE of a
+    # prefix-capable term is ambiguous on re-expansion — hard error
+    # (compact.js:913-922)
+    for pterm, ptd in active_ctx.mappings.items():
+        if ptd and ptd.get("_prefix") and iri.startswith(pterm + ":"):
+            raise JsonLdError(
+                f'Absolute IRI "{iri}" confused with prefix "{pterm}".',
+                "IRI confused with prefix")
 
     # direct term match even without inverse hit (e.g. keyword aliases)
     if not relative_to_vocab:
@@ -581,14 +609,16 @@ def compact(active_ctx: ActiveContext, active_property: Optional[str],
             continue
 
         if expanded_property in ("@value", "@language", "@direction",
-                                 "@included", "@explicit", "@embed",
+                                 "@explicit", "@embed",
                                  "@requireAll", "@default", "@omitDefault"):
+            # non-@graph/@list/@included keywords are aliased and added
+            # VERBATIM (compact.js:334-344) — @included instead flows
+            # through the generic item path below, where graph-object
+            # items take the unwrap-then-rewrap shortcut (fuzz seed
+            # 6336: "@included": {"@graph": {"@graph": [node]}})
             alias = compact_iri(active_ctx, expanded_property,
                                 relative_to_vocab=True)
-            val = expanded_value
-            if expanded_property in ("@included", "@default"):
-                val = compact(active_ctx, None, expanded_value, options)
-            result[alias] = val
+            result[alias] = expanded_value
             continue
 
         if expanded_property == "@graph":

@@ -562,8 +562,13 @@ def _expand_object(active_ctx, active_property, element, result, nests,
                       if _drop_unsafe_object(v, options) is not None]
             if not ev:
                 continue
+            # UNCONDITIONAL wrap (expand.js:971 maps every item into a
+            # fresh {"@graph": [...]}, its "if not itself a graph"
+            # comment notwithstanding) — a value that already looks
+            # like a graph object gets double-wrapped (fuzz seed 900)
             expanded_value = [
-                v if is_graph(v) else {"@graph": [v]} for v in ev]
+                {"@graph": v if isinstance(v, list) else [v]}
+                for v in ev]
 
         if term_def.get("reverse"):
             reverse_map = result.setdefault("@reverse", {})

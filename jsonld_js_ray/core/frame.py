@@ -71,6 +71,9 @@ def frame_document(document, frame_doc, options: dict):
         "link": {},
         "bnodeMap": {},
     }
+    # node-pattern matching resolves against the INITIAL graph's
+    # subject map even inside named-graph recursion (frame.js:50)
+    state["subjects"] = graph_map[state["graph"]]
 
     results: list = []
     _match_frame(state, sorted(state["graphMap"][state["graph"]].keys()),
@@ -185,11 +188,26 @@ def _node_matches_frame(state, subject: dict, frame: dict, options) -> bool:
         is_empty = len(frame_values) == 0
 
         if key == "@id":
-            first = frame_values[0] if frame_values else {}
-            if isinstance(first, dict) and not first:
-                match_this = True
+            # the raw (unwrapped) pattern shape matters: the reference
+            # runs `frame['@id'].includes(nodeId)` (frame.js:533-535),
+            # which is EXACT membership for arrays but SUBSTRING match
+            # when frame expansion left @id a plain string — a node
+            # reference pattern {"@id": ".../filled"} matches any node
+            # whose id is a substring of it (fuzz seed 4419). And
+            # `frame['@id'][0] || {}` makes a non-array, non-string
+            # pattern (dict wildcard) always match.
+            raw = v
+            sid = subject.get("@id")
+            if isinstance(raw, list):
+                first = raw[0] if raw else {}
+                if isinstance(first, dict) and not first:
+                    match_this = True
+                else:
+                    match_this = _js_strict_in(sid, raw)
+            elif isinstance(raw, str):
+                match_this = isinstance(sid, str) and sid in raw
             else:
-                match_this = (subject.get("@id") in frame_values)
+                match_this = True
             if not require_all:
                 return match_this
         elif key == "@type":
@@ -255,11 +273,11 @@ def _node_matches_frame(state, subject: dict, frame: dict, options) -> bool:
                                  for nv in node_values)
             elif isinstance(this_frame, dict) and len(this_frame) == 1 \
                     and "@id" in this_frame:
-                ids = this_frame["@id"]
-                ids = ids if isinstance(ids, list) else [ids]
+                # subject-reference pattern: recursive node match
+                # (frame.js:617-619 → _nodeMatch), inheriting the
+                # string-pattern substring quirk of the @id branch
                 match_this = any(
-                    isinstance(nv, dict) and nv.get("@id") in ids
-                    or (ids and isinstance(ids[0], dict))
+                    _node_pattern_match(state, this_frame, nv, options)
                     for nv in node_values)
             elif isinstance(this_frame, dict):
                 match_this = len(node_values) > 0
@@ -323,11 +341,16 @@ def _value_pattern_match(pattern: dict, value) -> bool:
 
 def _node_pattern_match(state, pattern: dict, value, options) -> bool:
     """Reference _nodeMatch (frame.js:754-765): the value must be a
-    node reference resolving in the subject map; the pattern then
-    re-enters subject filtering against the referenced node."""
+    node reference resolving in the TOP-LEVEL subject map (the
+    reference's `state.subjects` is pinned to the initial graph before
+    recursion, frame.js:50 — graph recursion does not rebind it); the
+    pattern then re-enters subject filtering against that node."""
     if not isinstance(value, dict) or "@id" not in value:
         return False
-    node = state["graphMap"][state["graph"]].get(value["@id"])
+    subjects = state.get("subjects")
+    if subjects is None:
+        subjects = state["graphMap"][state["graph"]]
+    node = subjects.get(value["@id"])
     return bool(node) and _node_matches_frame(state, node, pattern,
                                               options)
 

@@ -164,22 +164,26 @@ def create_node_map(element, graph_map: dict, active_graph: str,
         else:
             list_["@list"].append(reference)
 
-    if el_types is not None:
-        for t in el_types:
-            add_value(node, "@type", t)
-
-    if "@index" in element:
-        if "@index" in node and node["@index"] != element["@index"]:
-            raise JsonLdError("Conflicting @index values for node "
-                              f"{node_id!r}.", "conflicting indexes")
-        node["@index"] = element["@index"]
-
     # ONE lexicographic pass over every key (nodeMap.js:120+ iterates
     # Object.keys(input).sort() with @reverse/@graph/@included handled at
     # their sorted positions) — the blank-node issuer order, and thus
-    # the flattened labels, depend on this exact interleaving
+    # the flattened labels, depend on this exact interleaving. @type and
+    # @index merge AT their sorted positions too: "@included" < "@type",
+    # so an @included copy of a node contributes its types FIRST
+    # (nodeMap.js:110,149-166,181-184; fuzz seed 910) — only the bnode
+    # NAMING of @type values happens early, above.
     for prop in sorted(element.keys()):
-        if prop in ("@id", "@type", "@index"):
+        if prop == "@id":
+            continue
+        if prop == "@type":
+            for t in (el_types or []):
+                add_value(node, "@type", t)
+            continue
+        if prop == "@index":
+            if "@index" in node and node["@index"] != element["@index"]:
+                raise JsonLdError("Conflicting @index values for node "
+                                  f"{node_id!r}.", "conflicting indexes")
+            node["@index"] = element["@index"]
             continue
         if prop == "@reverse":
             referenced = {"@id": node_id}

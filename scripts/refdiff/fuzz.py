@@ -76,6 +76,21 @@ def gen_context(rng: random.Random) -> dict:
             ctx[t] = {"@id": EX + "type/" + t}
             if rng.random() < 0.5:
                 ctx[t]["@context"] = {"scoped" + t: EX + "ts/" + t}
+    # round-5 grammar widening: @nest routing, keyword aliases,
+    # prefix terms, @propagate on a scoped context
+    if rng.random() < 0.2:
+        ctx["meta"] = "@nest"
+        ctx["nested" + rng.choice(TERMS)] = {
+            "@id": EX + "nested", "@nest": "meta"}
+    if rng.random() < 0.15:
+        ctx["id"] = "@id"
+    if rng.random() < 0.1:
+        ctx["type"] = "@type"
+    if rng.random() < 0.15:
+        ctx["px"] = {"@id": EX + "px/", "@prefix": True}
+    if rng.random() < 0.1 and isinstance(ctx.get(TYPES[0]), dict) \
+            and "@context" in ctx.get(TYPES[0], {}):
+        ctx[TYPES[0]]["@context"]["@propagate"] = True
     return ctx
 
 
@@ -127,6 +142,18 @@ def gen_node(rng: random.Random, depth: int) -> dict:
         node["@reverse"] = {EX + "rp": {"@id": "urn:rev"}}
     if rng.random() < 0.1:
         node["@index"] = "idx" + str(rng.randint(0, 2))
+    # round-5 grammar widening: @included blocks, nest-alias routing,
+    # prefix-term CURIEs, keyword-alias usage
+    if rng.random() < 0.08 and depth > 0:
+        node["@included"] = [gen_node(rng, depth - 1)]
+    if rng.random() < 0.08 and depth > 0:
+        node["meta"] = {"nested" + rng.choice(TERMS):
+                        gen_value(rng, depth - 1)}
+    if rng.random() < 0.08:
+        node["px:suffix" + str(rng.randint(0, 2))] = \
+            gen_value(rng, 0)
+    if rng.random() < 0.06:
+        node["id"] = "urn:via-alias" + str(rng.randint(0, 3))
     return node
 
 
