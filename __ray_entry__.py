@@ -609,6 +609,50 @@ def oracle_sql() -> dict[str, str]:
                    END AS n_tokens
             FROM documents
         """,
+        "doc_langid": r"""
+            WITH sliced AS (
+              SELECT doc_id,
+                     list_slice(regexp_extract_all(text,
+                         '[a-zA-ZäöüÄÖÜßéèêàâçñ]+'), 1, 200) AS toks
+              FROM documents
+            ), toks AS (
+              SELECT doc_id, lower(unnest(toks)) AS tok FROM sliced
+            ), prof (lang, ord, word) AS (
+              SELECT * FROM (VALUES
+                ('en', 1, 'the'), ('en', 1, 'and'), ('en', 1, 'of'),
+                ('en', 1, 'to'), ('en', 1, 'a'), ('en', 1, 'in'),
+                ('en', 1, 'is'), ('en', 1, 'that'), ('en', 1, 'for'),
+                ('en', 1, 'it'),
+                ('de', 2, 'der'), ('de', 2, 'die'), ('de', 2, 'das'),
+                ('de', 2, 'und'), ('de', 2, 'ist'), ('de', 2, 'nicht'),
+                ('de', 2, 'ein'), ('de', 2, 'mit'), ('de', 2, 'zu'),
+                ('de', 2, 'den'),
+                ('fr', 3, 'le'), ('fr', 3, 'la'), ('fr', 3, 'les'),
+                ('fr', 3, 'et'), ('fr', 3, 'est'), ('fr', 3, 'un'),
+                ('fr', 3, 'une'), ('fr', 3, 'des'), ('fr', 3, 'que'),
+                ('fr', 3, 'pour'),
+                ('es', 4, 'el'), ('es', 4, 'la'), ('es', 4, 'los'),
+                ('es', 4, 'y'), ('es', 4, 'es'), ('es', 4, 'un'),
+                ('es', 4, 'una'), ('es', 4, 'de'), ('es', 4, 'que'),
+                ('es', 4, 'para'))
+            ), hits AS (
+              SELECT t.doc_id, p.lang, p.ord, COUNT(*) AS h
+              FROM toks t JOIN prof p ON t.tok = p.word
+              GROUP BY t.doc_id, p.lang, p.ord
+            ), best AS (
+              SELECT doc_id, lang, h FROM (
+                SELECT doc_id, lang, h,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY h DESC, ord ASC) AS rn
+                FROM hits)
+              WHERE rn = 1
+            )
+            SELECT s.doc_id AS doc_id,
+                   COALESCE(b.lang, 'und') AS lang_pred,
+                   CAST(COALESCE(b.h, 0) AS BIGINT) AS lang_hits,
+                   CAST(len(s.toks) AS BIGINT) AS lang_toks
+            FROM sliced s LEFT JOIN best b USING (doc_id)
+        """,
         "doc_simhash": r"""
             WITH toks AS (
               SELECT DISTINCT doc_id, tok FROM (

@@ -67,23 +67,26 @@ class LangId:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         df = batch.select(["doc_id", "text"]).to_pandas()
-        langs, scores = [], []
+        langs, hits_out, toks_out = [], [], []
         for text in df["text"]:
             toks = [t.lower() for t in self.word_re.findall(text)[:200]]
-            best_lang, best = "und", 0.0
-            if toks:
-                tokset = toks
-                for lang, prof in self.profiles.items():
-                    hits = sum(1 for t in tokset if t in prof)
-                    score = hits / len(toks)
-                    if score > best:
-                        best_lang, best = lang, score
+            best_lang, best = "und", 0
+            # denominators are equal across languages per doc, so the
+            # strictly-greater HIT comparison is the score argmax with
+            # first-profile tie-break; integer outputs keep the DuckDB
+            # oracle exact (no float rounding-mode hazards)
+            for lang, prof in self.profiles.items():
+                h = sum(1 for t in toks if t in prof)
+                if h > best:
+                    best_lang, best = lang, h
             langs.append(best_lang)
-            scores.append(round(best, 6))
+            hits_out.append(best)
+            toks_out.append(len(toks))
         return pa.table({
             "doc_id": pa.array(df["doc_id"], pa.int64()),
             "lang_pred": pa.array(langs, pa.string()),
-            "lang_score": pa.array(scores, pa.float64()),
+            "lang_hits": pa.array(hits_out, pa.int64()),
+            "lang_toks": pa.array(toks_out, pa.int64()),
         })
 
 
