@@ -393,3 +393,37 @@ def test_connected_components_vs_union_find(ray_session):
         ray.data.from_pandas(edges)).to_pandas()
     got = dict(zip(out["a"], out["label"]))
     assert got == expect
+
+
+def _ref_simhash_md5(text: str) -> int:
+    """md5-mode scalar re-derivation: token hash = last 8 md5 digest
+    bytes little-endian (DuckDB md5_number_lower), rest identical."""
+    import hashlib as _hl
+    import re as _re
+    toks = set(_re.findall(r"\w+", text.lower()))
+    if not toks:
+        return 0
+    votes = [0] * 64
+    for t in toks:
+        h = int.from_bytes(_hl.md5(t.encode("utf-8")).digest()[8:],
+                           "little")
+        for j in range(64):
+            votes[j] += 1 if (h >> j) & 1 else -1
+    sim = 0
+    for j in range(64):
+        if votes[j] > 0:
+            sim |= 1 << j
+    return sim % (1 << 63)
+
+
+def test_simhash_md5_mode_matches_python_reference(ray_session):
+    import ray
+    from jsonld_js_ray.functions.dedup_text import simhash_signatures
+    texts = {1: "the quick brown Fox", 2: "", 3: "a b c a b",
+             4: "unicode café naïve test tokens here"}
+    ds = ray.data.from_items(
+        [{"doc_id": k, "text": v} for k, v in texts.items()])
+    out = simhash_signatures(ds, hash_mode="md5").to_pandas() \
+        .set_index("doc_id")
+    for k, t in texts.items():
+        assert int(out.loc[k, "simhash"]) == _ref_simhash_md5(t), k
