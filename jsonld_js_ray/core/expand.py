@@ -324,7 +324,13 @@ def _expand_object(active_ctx, active_property, element, result, nests,
                         and not options.get("isFrame")):
                     emit_event(options, "relative @id reference",
                                f"Relative @id reference: {expanded!r}")
-                result["@id"] = expanded
+                # frame mode: the explicit @id KEY expands to an ARRAY
+                # (expand.js:552-560, propertyIsArray: options.isFrame)
+                # — downstream @id matching is exact membership for
+                # arrays, substring for the strings id-map containers
+                # synthesize
+                result["@id"] = [expanded] if frame_expansion \
+                    else expanded
             elif frame_expansion and isinstance(value, dict) and not value:
                 result["@id"] = [value]
             elif frame_expansion and isinstance(value, list):

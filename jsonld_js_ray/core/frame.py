@@ -306,12 +306,21 @@ def _value_pattern_match(pattern: dict, value) -> bool:
     an all-empty pattern is a wildcard; otherwise EVERY dimension is
     constrained — a pattern without @type only matches values without
     @type, and a {} wildcard in @type/@language requires the value to
-    HAVE that dimension. Falsy pattern entries (null) count as empty."""
-    if not is_value(value):
-        return False
-    v1 = value.get("@value")
-    t1 = value.get("@type")
-    l1 = value.get("@language")
+    HAVE that dimension. Falsy pattern entries (null) count as empty.
+    Non-dict patterns read every key as undefined — wildcard (JS
+    property access on scalars). The VALUE side is equally ungated:
+    the reference reads @value/@type/@language off whatever object
+    arrives — a node reference has all three undefined, so an
+    all-wildcard pattern matches it (frame.js:794-812; fuzz seed
+    1622)."""
+    if not isinstance(pattern, dict):
+        return True
+    if isinstance(value, dict):
+        v1 = value.get("@value")
+        t1 = value.get("@type")
+        l1 = value.get("@language")
+    else:
+        v1 = t1 = l1 = None
 
     def plist(k):
         pv = pattern.get(k)
@@ -515,9 +524,26 @@ def _match_frame(state, subjects, frame, parent, active_property,
                         and not is_value(o):
                     _match_frame(state, [o["@id"]], sub_frame_arr, output,
                                  prop, embedded=True)
-                elif not is_value(o) or not is_value(sub_frame) \
-                        or _value_pattern_match(sub_frame, o):
-                    _add_frame_output(output, prop, copy.deepcopy(o))
+                else:
+                    # the reference gates EVERY value object through
+                    # _valueMatch(subframe[0], o) — a node-shaped
+                    # subframe (e.g. {"@type": [...]}) reads as a value
+                    # pattern whose non-empty @type list never matches
+                    # a typeless literal, so the value DROPS and the
+                    # property default-fills (frame.js:260-263; fuzz
+                    # seed 26). An EMPTY explicit subframe (a frame
+                    # property expanding to [] — e.g. an empty index
+                    # map) crashes the reference outright:
+                    # `_valueMatch(undefined, o)` reads '@value' of
+                    # undefined (frame.js:261,798; fuzz seed 943)
+                    if raw_sub is not None and not sub_frame_arr:
+                        raise JsonLdError(
+                            "Cannot read properties of undefined "
+                            "(reading '@value') (reference TypeError: "
+                            "empty property subframe reaches "
+                            "_valueMatch)", "TypeError parity")
+                    if _value_pattern_match(sub_frame, o):
+                        _add_frame_output(output, prop, copy.deepcopy(o))
 
         # defaults
         for prop in sorted(frame_obj.keys()):

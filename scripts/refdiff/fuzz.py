@@ -175,7 +175,10 @@ def run_reference(reqs: list) -> list:
 
 
 def gen_frame(seed: int, doc: dict) -> dict:
-    """A deterministic frame derived from the document's own shapes."""
+    """A deterministic frame derived from the document's own shapes.
+    Round-5 widening: @id patterns (string/array/wildcard),
+    @requireAll/@omitDefault, nested property subframes, value
+    patterns, list frames, @reverse frames."""
     rng = random.Random(seed * 31 + 7)
     frame: dict = {"@context": doc["@context"]}
     r = rng.random()
@@ -192,6 +195,40 @@ def gen_frame(seed: int, doc: dict) -> dict:
         frame["@explicit"] = True
     if rng.random() < 0.2:
         frame[rng.choice(TERMS)] = {"@default": "filled"}
+    # widened pattern families (each independent, deterministic)
+    wr = rng.random()
+    if wr < 0.15:
+        frame["@id"] = rng.choice(
+            ["urn:n" + str(rng.randint(0, 5)), EX + "n0",
+             [EX + "n1", "urn:n2"], {}])
+    elif wr < 0.25:
+        frame["@requireAll"] = True
+    elif wr < 0.35:
+        frame["@omitDefault"] = True
+    elif wr < 0.5:
+        # nested subframe: match through a property into a node pattern
+        inner: dict = {}
+        ir = rng.random()
+        if ir < 0.4:
+            inner["@type"] = rng.choice(TYPES + [{}])  # type: ignore
+        elif ir < 0.7:
+            inner[rng.choice(TERMS)] = {}
+        else:
+            inner["@id"] = rng.choice(["urn:x", "urn:y", {}])
+        frame[rng.choice(TERMS)] = inner
+    elif wr < 0.6:
+        # value pattern
+        vp: dict = {"@value": rng.choice(["s1", "v", {}, ["s1", "s2"]])}
+        if rng.random() < 0.4:
+            vp["@language"] = rng.choice(LANGS + [{}])  # type: ignore
+        frame[rng.choice(TERMS)] = vp
+    elif wr < 0.68:
+        # list frame
+        frame[rng.choice(TERMS)] = {
+            "@list": [rng.choice([{}, {"@value": "s1"},
+                                  {"@id": "urn:x"}])]}
+    elif wr < 0.75:
+        frame["@reverse"] = {EX + "rp": rng.choice([{}, {"@type": {}}])}
     return frame
 
 
