@@ -681,18 +681,22 @@ def compact(active_ctx: ActiveContext, active_property: Optional[str],
                 if "@graph" in container and "@id" in container:
                     map_object = nest_result.setdefault(nest_prop, {})
                     # the RAW expanded graph name is the map key — no
-                    # compaction/relativization (compact.js:472-475)
+                    # compaction/relativization (compact.js:472-475).
+                    # GRAPH-map adds consult compactArrays
+                    # (compact.js:479-481), unlike plain value maps
                     key = expanded_item.get("@id") or compact_iri(
                         active_ctx, "@none", relative_to_vocab=True)
                     add_value_compact(map_object, key, compacted_item,
-                                      "@set" in container)
+                                      "@set" in container
+                                      or not compact_arrays)
                 elif "@graph" in container and "@index" in container \
                         and is_simple_graph(expanded_item):
                     map_object = nest_result.setdefault(nest_prop, {})
                     key = expanded_item.get("@index") or compact_iri(
                         active_ctx, "@none", relative_to_vocab=True)
                     add_value_compact(map_object, key, compacted_item,
-                                      "@set" in container)
+                                      "@set" in container
+                                      or not compact_arrays)
                 elif "@graph" in container and \
                         is_simple_graph(expanded_item):
                     if isinstance(compacted_item, list) and \
@@ -878,18 +882,22 @@ def compact_document(expanded, ctx, options: dict, from_flatten=False):
 
     # graph=true semantics (used by flatten/frame): always emit @graph
     if from_flatten and not isinstance(compacted, list):
-        compacted = [compacted] if compacted else []
+        # graph-wrap checks _isObject, not truthiness: an empty {}
+        # node still wraps as [{}] (jsonld.js:196-199; fuzz seed 848)
+        compacted = [compacted] if isinstance(compacted, dict) else []
     if from_flatten:
         alias = compact_iri(active_ctx, "@graph", relative_to_vocab=True)
         compacted = {alias: compacted}
-    # top-level array → wrap in @graph
+    # top-level array: the empty-/single-element collapse is gated on
+    # compactArrays (jsonld.js:190-195); with compactArrays=false even
+    # an EMPTY array wraps as {"@graph": []} (fuzz seed 164)
     elif isinstance(compacted, list):
-        if len(compacted) == 0:
-            compacted = {}
-        elif len(compacted) == 1 and options.get("compactArrays", True) \
-                and not from_flatten:
-            compacted = compacted[0]
-        else:
+        if options.get("compactArrays", True):
+            if len(compacted) == 0:
+                compacted = {}
+            elif len(compacted) == 1:
+                compacted = compacted[0]
+        if isinstance(compacted, list):
             alias = compact_iri(active_ctx, "@graph",
                                 relative_to_vocab=True)
             compacted = {alias: compacted}

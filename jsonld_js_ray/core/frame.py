@@ -113,7 +113,11 @@ def frame_document(document, frame_doc, options: dict):
     elif isinstance(compacted, dict) and "@graph" not in compacted \
             and not options["omitGraph"]:
         ctxv = compacted.pop("@context", None)
-        body = {"@graph": [compacted] if compacted else []}
+        # any OBJECT wraps — including an empty {} match whose keys
+        # were all stripped (jsonld.js graph-wrap checks _isObject,
+        # not truthiness; fuzz seed 848)
+        body = {"@graph": [compacted] if isinstance(compacted, dict)
+                else []}
         if ctxv is not None:
             body = {"@context": ctxv, **body}
         compacted = body

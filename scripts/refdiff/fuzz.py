@@ -232,6 +232,39 @@ def gen_frame(seed: int, doc: dict) -> dict:
     return frame
 
 
+def gen_op_options(seed: int, op: str) -> dict:
+    """Deterministic per-seed per-op OPTION variations — the big
+    behavioral switches (processing mode, compactArrays, graph
+    wrapping, generalized RDF, rdfDirection, frame flags) that the
+    default-options campaign never exercises."""
+    rng = random.Random(seed * 53 + {"expand": 1, "flatten": 2,
+                                     "toRDF": 3, "compact": 4,
+                                     "frame": 5}.get(op, 6))
+    opts: dict = {}
+    if rng.random() < 0.15:
+        opts["processingMode"] = "json-ld-1.0"
+    if op == "compact":
+        if rng.random() < 0.3:
+            opts["compactArrays"] = False
+        if rng.random() < 0.2:
+            opts["graph"] = True
+    elif op == "toRDF":
+        if rng.random() < 0.25:
+            opts["produceGeneralizedRdf"] = True
+        if rng.random() < 0.25:
+            opts["rdfDirection"] = "i18n-datatype"
+    elif op == "frame":
+        if rng.random() < 0.2:
+            opts["omitDefault"] = True
+        if rng.random() < 0.2:
+            opts["requireAll"] = True
+        if rng.random() < 0.2:
+            opts["omitGraph"] = False
+        if rng.random() < 0.15:
+            opts["embed"] = rng.choice(["@always", "@never", "@once"])
+    return opts
+
+
 def gen_from_rdf_options(seed: int) -> dict:
     """Deterministic fromRDF option mix per seed."""
     rng = random.Random(seed * 97 + 13)
@@ -433,16 +466,17 @@ def main():
     reqs = []
     for s in seeds:
         for op in ops:
+            op_opts = {"base": base, **gen_op_options(s, op)}
             if op == "compact":
                 # round-trip: compact the document back onto its own
                 # context (reference compact expands internally)
                 reqs.append({"op": op, "input": docs[s],
                              "context": docs[s]["@context"],
-                             "options": {"base": base}})
+                             "options": op_opts})
             elif op == "frame":
                 reqs.append({"op": op, "input": docs[s],
                              "frame": gen_frame(s, docs[s]),
-                             "options": {"base": base}})
+                             "options": op_opts})
             elif op == "fromRDF":
                 if nqs[s] is None:
                     continue
@@ -450,7 +484,7 @@ def main():
                              "options": gen_from_rdf_options(s)})
             else:
                 reqs.append({"op": op, "input": docs[s],
-                             "options": {"base": base}})
+                             "options": op_opts})
     refs = run_reference(reqs)
     n_match = n_diff = 0
     i = 0
@@ -459,7 +493,7 @@ def main():
             if op == "fromRDF" and nqs[s] is None:
                 continue
             ref = refs[i]; i += 1
-            opts = {"base": base}
+            opts = {"base": base, **gen_op_options(s, op)}
             if op == "compact":
                 opts["_ctx"] = docs[s]["@context"]
             elif op == "frame":

@@ -41,8 +41,10 @@ def main():
     base = "https://fuzz.example/doc.jsonld"
     doc = fuzz.gen_doc(seed)
     for op in ops:
-        req = {"op": op, "input": doc, "options": {"base": base}}
-        opts = {"base": base}
+        op_opts = {"base": base, **fuzz.gen_op_options(seed, op)}
+        print("OP OPTS:", json.dumps(op_opts))
+        req = {"op": op, "input": doc, "options": dict(op_opts)}
+        opts = dict(op_opts)
         if op == "fromRDF":
             nq = fuzz.nquads_for_seed(doc)
             if nq is None:
