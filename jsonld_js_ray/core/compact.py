@@ -65,8 +65,6 @@ def inverse_context(active_ctx: ActiveContext) -> dict:
     if active_ctx._inverse is not None:
         return active_ctx._inverse
     result: dict[str, dict] = {}
-    default_lang_dir = f"{active_ctx.default_language or '@none'}" \
-        f"_{active_ctx.default_direction or '@none'}".lower()
     for term in sorted(active_ctx.mappings.keys(), key=_shortest_least):
         td = active_ctx.mappings[term]
         if td is None or td.get("@id") is None:
@@ -82,8 +80,12 @@ def inverse_context(active_ctx: ActiveContext) -> dict:
         if td.get("reverse"):
             type_map.setdefault("@reverse", term)
         elif td.get("@type") == "@none":
-            lang_map.setdefault("@any", term)
-            type_map.setdefault("@any", term)
+            # "@type": "@none" terms register under the '@none' KEY of
+            # both value maps (context.js:1312-1315) — competing with
+            # plain terms at shortest-least priority, not via a
+            # separate low-priority slot
+            lang_map.setdefault("@none", term)
+            type_map.setdefault("@none", term)
         elif td.get("@type") is not None:
             type_map.setdefault(td["@type"], term)
         elif td.get("_has_language") and td.get("_has_direction"):
@@ -106,7 +108,9 @@ def inverse_context(active_ctx: ActiveContext) -> dict:
             lang_map.setdefault(f"_{direction}" if direction else "@none",
                                 term)
         elif active_ctx.default_direction is not None:
-            lang_map.setdefault(default_lang_dir, term)
+            # default-direction key is DIRECTION-ONLY "_dir"
+            # (context.js:1343-1346), not a combined lang_dir
+            lang_map.setdefault(f"_{active_ctx.default_direction}", term)
             lang_map.setdefault("@none", term)
             type_map.setdefault("@none", term)
         else:
@@ -116,6 +120,24 @@ def inverse_context(active_ctx: ActiveContext) -> dict:
             type_map.setdefault("@none", term)
     active_ctx._inverse = result
     return result
+
+
+def _js_property_key(v):
+    """JS object-key coercion: `pref in valueMap` stringifies the pref
+    (compact.js:1103-1110 reached with an ARRAY typeOrLanguageValue
+    when a garbage value object carries `"@type": [...]`) — arrays
+    join with "," mapping null/undefined to '' (Array.prototype
+    toString)."""
+    if isinstance(v, str):
+        return v
+    if isinstance(v, list):
+        return ",".join("" if x is None else _js_property_key(x)
+                        for x in v)
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
 
 
 def select_term(active_ctx, iri, value, containers, type_language,
@@ -129,6 +151,8 @@ def select_term(active_ctx, iri, value, containers, type_language,
         tl_map = container_map[container]
         value_map = tl_map[type_language]
         for item in preferred_values:
+            if not isinstance(item, str):
+                item = _js_property_key(item)
             if item in value_map:
                 return value_map[item]
     return None
@@ -210,6 +234,25 @@ def compact_iri(active_ctx: ActiveContext, iri: Optional[str],
         # fall through to IRI compaction (compact.js:711-713)
         if isinstance(value, dict) and "@preserve" in value:
             value = value["@preserve"][0]
+        # most-specific container candidates come BEFORE the
+        # type/language chain (compact.js:716-740): graph values get
+        # the @graph family; every OTHER non-value object — including
+        # @list wrappers and reverse values — gets the id/type map
+        # candidates here
+        if is_graph(value):
+            if "@index" in value:
+                containers.extend(["@graph@index", "@graph@index@set",
+                                   "@index", "@index@set"])
+            if "@id" in value:
+                containers.extend(["@graph@id", "@graph@id@set"])
+            containers.extend(["@graph", "@graph@set", "@set"])
+            if "@index" not in value:
+                containers.extend(["@graph@index", "@graph@index@set",
+                                   "@index", "@index@set"])
+            if "@id" not in value:
+                containers.extend(["@graph@id", "@graph@id@set"])
+        elif isinstance(value, dict) and not is_value(value):
+            containers.extend(["@id", "@id@set", "@type", "@set@type"])
         if reverse:
             type_language = "@type"
             type_language_value = "@reverse"
@@ -251,20 +294,10 @@ def compact_iri(active_ctx: ActiveContext, iri: Optional[str],
                 type_language_value = common_type
             else:
                 type_language_value = common_language
-        elif is_graph(value):
-            if "@index" in value:
-                containers.extend(["@graph@index", "@graph@index@set"])
-            if "@id" in value:
-                containers.extend(["@graph@id", "@graph@id@set"])
-            containers.extend(["@graph", "@graph@set", "@set"])
-            if "@index" not in value:
-                containers.extend(["@graph@index", "@graph@index@set"])
-            if "@id" not in value:
-                containers.extend(["@graph@id", "@graph@id@set"])
-            containers.extend(["@index", "@index@set"])
-            type_language = "@type"
-            type_language_value = "@id"
         else:
+            # graph values also land here (not reverse/list/value):
+            # the generic else assigns @type/@id and pushes @set
+            # (compact.js:811-831)
             if is_value(value):
                 if "@language" in value and "@index" not in value:
                     containers.extend(["@language", "@language@set"])
@@ -279,14 +312,6 @@ def compact_iri(active_ctx: ActiveContext, iri: Optional[str],
             else:
                 type_language = "@type"
                 type_language_value = "@id"
-                # node-OBJECT values get the id/type map candidates
-                # (compact.js:738-740: gated on _isObject && !_isValue —
-                # an IRI compacted with NO value, e.g. a @type value,
-                # must NOT match a term stored only under @id/@type
-                # containers)
-                if isinstance(value, dict):
-                    containers.extend(["@id", "@id@set", "@type",
-                                       "@set@type"])
             containers.append("@set")
         containers.append("@none")
         # @index-less OBJECT values can use index containers
@@ -298,27 +323,37 @@ def compact_iri(active_ctx: ActiveContext, iri: Optional[str],
             containers.extend(["@language", "@language@set"])
 
         preferred = []
-        if type_language_value == "@reverse":
-            preferred.append("@reverse")
+        if type_language_value is None:
+            type_language_value = "@null"
         if type_language_value in ("@id", "@reverse") and \
                 isinstance(value, dict) and "@id" in value:
+            if type_language_value == "@reverse":
+                preferred.append("@reverse")
             # prefer @vocab vs @id depending on compacted id shape
             cid = compact_iri(active_ctx, value["@id"],
                              relative_to_vocab=True)
             td = active_ctx.mappings.get(cid)
             if td is not None and td.get("@id") == value["@id"]:
-                preferred.extend(["@vocab", "@id", "@none"])
+                preferred.extend(["@vocab", "@id"])
             else:
-                preferred.extend(["@id", "@vocab", "@none"])
+                preferred.extend(["@id", "@vocab"])
         else:
-            preferred.extend([type_language_value, "@none"])
+            preferred.append(type_language_value)
             if is_list(value) and not value["@list"]:
                 type_language = "@any"
-        preferred.append("@any")
-        # 1.1: allow language fallback "en" for "en_dir" style keys
-        for pv in list(preferred):
-            if "_" in pv and not pv.startswith("_"):
-                preferred.append("_" + pv.split("_", 1)[1])
+            # direction-only fallback: the FIRST pref containing "_"
+            # re-pushes with its language part stripped, BEFORE @none
+            # (compact.js:1117-1123); JS .includes is substring on
+            # string prefs, element MEMBERSHIP on array prefs
+            lang_dir = next(
+                (p for p in preferred
+                 if isinstance(p, (str, list)) and "_" in p), None)
+            if lang_dir is not None:
+                if isinstance(lang_dir, str):
+                    preferred.append("_" + lang_dir.split("_", 1)[1])
+                else:
+                    preferred.append(lang_dir)
+        preferred.append("@none")
         term = select_term(active_ctx, iri, value, containers,
                            type_language, preferred)
         if term is not None:
@@ -663,6 +698,11 @@ def compact(active_ctx: ActiveContext, active_property: Optional[str],
                 if not isinstance(compacted_item, list):
                     compacted_item = [compacted_item]
                 if "@list" not in container:
+                    # wrap with the @list alias, then FALL THROUGH to
+                    # the map-packing section (compact.js:426-457 has
+                    # no continue here): a list value under an e.g.
+                    # @index-container term still packs into the map
+                    # under @none
                     alias = compact_iri(active_ctx, "@list",
                                         relative_to_vocab=True)
                     wrapper = {alias: compacted_item}
@@ -671,11 +711,9 @@ def compact(active_ctx: ActiveContext, active_property: Optional[str],
                                                 relative_to_vocab=True)
                         wrapper[idx_alias] = expanded_item["@index"]
                     compacted_item = wrapper
-                    add_value_compact(nest_result, nest_prop,
-                                      compacted_item, as_array)
                 else:
                     nest_result[nest_prop] = compacted_item
-                continue
+                    continue
 
             if is_graph(expanded_item):
                 if "@graph" in container and "@id" in container:

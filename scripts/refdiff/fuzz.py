@@ -239,11 +239,11 @@ def gen_op_options(seed: int, op: str) -> dict:
     default-options campaign never exercises."""
     rng = random.Random(seed * 53 + {"expand": 1, "flatten": 2,
                                      "toRDF": 3, "compact": 4,
-                                     "frame": 5}.get(op, 6))
+                                     "frame": 5, "compactX": 7}.get(op, 6))
     opts: dict = {}
     if rng.random() < 0.15:
         opts["processingMode"] = "json-ld-1.0"
-    if op == "compact":
+    if op in ("compact", "compactX"):
         if rng.random() < 0.3:
             opts["compactArrays"] = False
         if rng.random() < 0.2:
@@ -368,7 +368,7 @@ def run_mine(op: str, doc, options: dict):
             return {"result": api.flatten(doc, None, dict(options))}
         if op == "toRDF":
             return {"result": api.to_nquads(doc, dict(options))}
-        if op == "compact":
+        if op in ("compact", "compactX"):
             return {"result": api.compact(doc, options["_ctx"],
                                           dict(options))}
         if op == "frame":
@@ -456,10 +456,15 @@ def main():
     if "--remote" in sys.argv:
         main_remote(n, start)
         return
-    ops = ["expand", "flatten", "toRDF", "compact", "frame", "fromRDF"]
+    ops = ["expand", "flatten", "toRDF", "compact", "frame", "fromRDF",
+           "compactX"]
     base = "https://fuzz.example/doc.jsonld"
     seeds = list(range(start, start + n))
     docs = {s: gen_doc(s) for s in seeds}
+    # compactX: compact onto a FOREIGN context (an independently
+    # generated document's context) — exercises term selection where
+    # terms/containers don't align with the data shape
+    xctx = {s: gen_doc(2 * s + 1)["@context"] for s in seeds}
     # shared N-Quads transport for the fromRDF round-trip leg; None
     # when the doc itself errors (those seeds skip the fromRDF op)
     nqs = {s: nquads_for_seed(docs[s]) for s in seeds}
@@ -472,6 +477,10 @@ def main():
                 # context (reference compact expands internally)
                 reqs.append({"op": op, "input": docs[s],
                              "context": docs[s]["@context"],
+                             "options": op_opts})
+            elif op == "compactX":
+                reqs.append({"op": "compact", "input": docs[s],
+                             "context": xctx[s],
                              "options": op_opts})
             elif op == "frame":
                 reqs.append({"op": op, "input": docs[s],
@@ -496,6 +505,8 @@ def main():
             opts = {"base": base, **gen_op_options(s, op)}
             if op == "compact":
                 opts["_ctx"] = docs[s]["@context"]
+            elif op == "compactX":
+                opts["_ctx"] = xctx[s]
             elif op == "frame":
                 opts["_frame"] = gen_frame(s, docs[s])
             elif op == "fromRDF":

@@ -59,6 +59,12 @@ def main():
         elif op == "compact":
             req["context"] = doc["@context"]
             opts["_ctx"] = doc["@context"]
+        elif op == "compactX":
+            xctx = fuzz.gen_doc(2 * seed + 1)["@context"]
+            req["op"] = "compact"
+            req["context"] = xctx
+            opts["_ctx"] = xctx
+            print("XCTX:", json.dumps(xctx, indent=1))
         elif op == "frame":
             fr = fuzz.gen_frame(seed, doc)
             req["frame"] = fr
