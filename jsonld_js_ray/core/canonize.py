@@ -180,6 +180,13 @@ def _compute_mapping(quads: list[Quad],
                      message_digest_algorithm: str = "sha256"
                      ) -> dict[str, str]:
     """Canonical Issuance (RDFC-1.0 §4.4): input bnode label → c14n label."""
+    # An RDF dataset is a SET of quads (RDFC-1.0 §2; the reference's
+    # rdf-canonize NQuads.parse likewise only adds a quad if unique in
+    # its graph) — dedupe before hashing so a repeated quad in a raw
+    # quad ARRAY can't skew first/n-degree hashes; found by the
+    # canonize campaign's fixpoint oracle (canonize(parse(out)) == out)
+    # at seeds 275/998/1566/1830.
+    quads = list(dict.fromkeys(quads))
     state = _CanonState(max_deep_iterations, message_digest_algorithm)
     for q in quads:
         for b in _quad_bnodes(q):

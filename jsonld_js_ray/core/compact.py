@@ -485,6 +485,13 @@ def compact_value(active_ctx, active_property, value, options):
         if type_mapping == "@vocab":
             return compact_iri(active_ctx, value["@id"],
                                relative_to_vocab=True)
+        # a subject reference whose ACTIVE PROPERTY expands to @graph
+        # (a raw/aliased @graph key of a non-simple graph object)
+        # scalar-compacts document-relative (compact.js:1049-1062)
+        if active_property is not None and expand_iri(
+                active_ctx, active_property, vocab_mode=True,
+                options=options) == "@graph":
+            return compact_iri(active_ctx, value["@id"])
     return value
 
 

@@ -239,21 +239,35 @@ def gen_op_options(seed: int, op: str) -> dict:
     default-options campaign never exercises."""
     rng = random.Random(seed * 53 + {"expand": 1, "flatten": 2,
                                      "toRDF": 3, "compact": 4,
-                                     "frame": 5, "compactX": 7}.get(op, 6))
+                                     "frame": 5, "compactX": 7,
+                                     "flattenC": 8, "frameX": 9}.get(op, 6))
     opts: dict = {}
     if rng.random() < 0.15:
         opts["processingMode"] = "json-ld-1.0"
-    if op in ("compact", "compactX"):
+    if rng.random() < 0.15:
+        # expandContext is resolved and layered under the document's
+        # own context at every API's internal expansion
+        # (jsonld.js:283-292, expand.js:120-128)
+        opts["expandContext"] = rng.choice([
+            {"@vocab": "http://ec.example/vocab/"},
+            {"ecterm": "http://ec.example/ecterm",
+             "gamma": {"@id": "http://ec.example/gamma-override",
+                       "@container": "@set"}},
+            {"@context": {"@base": "http://ec.example/base/",
+                          "beta": {"@id": "http://ec.example/beta",
+                                   "@type": "@id"}}},
+        ])
+    if op in ("compact", "compactX", "flattenC"):
         if rng.random() < 0.3:
             opts["compactArrays"] = False
-        if rng.random() < 0.2:
+        if op != "flattenC" and rng.random() < 0.2:
             opts["graph"] = True
     elif op == "toRDF":
         if rng.random() < 0.25:
             opts["produceGeneralizedRdf"] = True
         if rng.random() < 0.25:
             opts["rdfDirection"] = "i18n-datatype"
-    elif op == "frame":
+    elif op in ("frame", "frameX"):
         if rng.random() < 0.2:
             opts["omitDefault"] = True
         if rng.random() < 0.2:
@@ -366,12 +380,15 @@ def run_mine(op: str, doc, options: dict):
             return {"result": api.expand(doc, dict(options))}
         if op == "flatten":
             return {"result": api.flatten(doc, None, dict(options))}
+        if op == "flattenC":
+            return {"result": api.flatten(doc, options["_ctx"],
+                                          dict(options))}
         if op == "toRDF":
             return {"result": api.to_nquads(doc, dict(options))}
         if op in ("compact", "compactX"):
             return {"result": api.compact(doc, options["_ctx"],
                                           dict(options))}
-        if op == "frame":
+        if op in ("frame", "frameX"):
             return {"result": api.frame(doc, options["_frame"],
                                         dict(options))}
         if op == "fromRDF":
@@ -457,7 +474,7 @@ def main():
         main_remote(n, start)
         return
     ops = ["expand", "flatten", "toRDF", "compact", "frame", "fromRDF",
-           "compactX"]
+           "compactX", "flattenC", "frameX"]
     base = "https://fuzz.example/doc.jsonld"
     seeds = list(range(start, start + n))
     docs = {s: gen_doc(s) for s in seeds}
@@ -481,6 +498,20 @@ def main():
             elif op == "compactX":
                 reqs.append({"op": "compact", "input": docs[s],
                              "context": xctx[s],
+                             "options": op_opts})
+            elif op == "flattenC":
+                # flatten WITH a context exercises the reference's
+                # flatten->compact composition (jsonld.js:150-205);
+                # alternate own/foreign context per seed
+                fctx = docs[s]["@context"] if s % 2 == 0 else xctx[s]
+                reqs.append({"op": "flatten", "input": docs[s],
+                             "context": fctx, "options": op_opts})
+            elif op == "frameX":
+                # frame with a FOREIGN frame (patterns generated
+                # against an independent doc) — misaligned patterns
+                # drive the default-fill / non-match paths
+                reqs.append({"op": "frame", "input": docs[s],
+                             "frame": gen_frame(s, gen_doc(2 * s + 1)),
                              "options": op_opts})
             elif op == "frame":
                 reqs.append({"op": op, "input": docs[s],
@@ -507,6 +538,11 @@ def main():
                 opts["_ctx"] = docs[s]["@context"]
             elif op == "compactX":
                 opts["_ctx"] = xctx[s]
+            elif op == "flattenC":
+                opts["_ctx"] = (docs[s]["@context"] if s % 2 == 0
+                                else xctx[s])
+            elif op == "frameX":
+                opts["_frame"] = gen_frame(s, gen_doc(2 * s + 1))
             elif op == "frame":
                 opts["_frame"] = gen_frame(s, docs[s])
             elif op == "fromRDF":

@@ -65,8 +65,17 @@ def main():
             req["context"] = xctx
             opts["_ctx"] = xctx
             print("XCTX:", json.dumps(xctx, indent=1))
-        elif op == "frame":
-            fr = fuzz.gen_frame(seed, doc)
+        elif op == "flattenC":
+            fctx = (doc["@context"] if seed % 2 == 0
+                    else fuzz.gen_doc(2 * seed + 1)["@context"])
+            req["op"] = "flatten"
+            req["context"] = fctx
+            opts["_ctx"] = fctx
+            print("FCTX:", json.dumps(fctx, indent=1))
+        elif op in ("frame", "frameX"):
+            fr = fuzz.gen_frame(
+                seed, doc if op == "frame" else fuzz.gen_doc(2 * seed + 1))
+            req["op"] = "frame"
             req["frame"] = fr
             opts["_frame"] = fr
             print("FRAME:", json.dumps(fr, indent=1))

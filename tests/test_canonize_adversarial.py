@@ -397,3 +397,16 @@ def test_canonical_form_iff_isomorphic(seed):
     iso = _brute_isomorphic(n, e1, e2)
     same = canonize(_edge_quads(e1)) == canonize(_edge_quads(e2))
     assert same == iso, (n, sorted(e1), sorted(e2), iso)
+
+
+def test_duplicate_quads_are_set_semantics():
+    """An RDF dataset is a SET: a quad repeated in the input array must
+    not skew hashing (RDFC-1.0 §2; rdf-canonize NQuads.parse dedupes).
+    Found by scripts/canonize_campaign.py's fixpoint oracle (seeds
+    275/998/1566/1830): duplicate multiplicity fed first-degree hashes,
+    so canonize(parse(output)) relabeled differently than the original
+    duplicated input."""
+    quads = [edge(0, 1), edge(1, 2), edge(2, 0),
+             lit(1, "x"), lit(1, "x")]  # duplicate literal quad
+    assert canonize(quads) == canonize(list(dict.fromkeys(quads)))
+    assert_invariant(quads)
