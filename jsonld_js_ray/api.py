@@ -115,26 +115,35 @@ def merge(docs: list, ctx=None, options: Optional[dict] = None):
 
     ``mergeNodes=False`` keeps only the first complete definition of each
     node id (later documents may still add to @graph entries)."""
-    from .core.node_map import create_node_map, merge_node_maps
+    from .core.node_map import (create_node_map, merge_node_maps,
+                                relabel_blank_nodes)
     options = _opts(options)
     merge_nodes = options.get("mergeNodes", True)
     graph_map: dict = {"@default": {}}
+    # TWO-step relabeling (jsonld.js:800-830): each expanded document's
+    # bnodes first get a collision-proof per-doc "_:b{i}-" prefix, then
+    # the node map reissues through ONE shared "_:b" issuer in
+    # first-encounter order — so merged output carries _:b0.._:bN
+    shared_issuer = IdentifierIssuer("_:b")
     for i, doc in enumerate(docs):
-        expanded = expand_document(doc, options)
-        issuer = IdentifierIssuer(f"_:b{i}-")
-        if merge_nodes:
-            create_node_map(expanded, graph_map, "@default", issuer)
+        expanded = relabel_blank_nodes(
+            expand_document(doc, options), IdentifierIssuer(f"_:b{i}-"))
+        if merge_nodes or i == 0:
+            create_node_map(expanded, graph_map, "@default", shared_issuer)
         else:
-            # keep-first semantics: build this doc's node map fresh, then
-            # fold in only ids the target does not already define
+            # keep-first semantics: build this doc's node map fresh
+            # (same shared issuer), then fold in only MISSING keys —
+            # an existing subject-reference stub is NOT replaced by a
+            # later full definition (jsonld.js:815-829)
             staging: dict = {"@default": {}}
-            create_node_map(expanded, staging, "@default", issuer)
+            create_node_map(expanded, staging, "@default", shared_issuer)
             for g, m in staging.items():
-                target = graph_map.setdefault(g, {})
+                if g not in graph_map:
+                    graph_map[g] = m
+                    continue
+                target = graph_map[g]
                 for node_id, node in m.items():
-                    existing = target.get(node_id)
-                    if existing is None or (len(existing) == 1
-                                            and "@id" in existing):
+                    if node_id not in target:
                         target[node_id] = node
     default_graph = merge_node_maps(graph_map)
     flattened = []

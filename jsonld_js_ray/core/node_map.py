@@ -53,6 +53,14 @@ def _js_eq(a, b) -> bool:
     return a == b
 
 
+def _js_strict_eq(a, b) -> bool:
+    """JS === on arbitrary members: scalars by value (bool/number kept
+    distinct), dicts/lists by object IDENTITY."""
+    if isinstance(a, (dict, list)) or isinstance(b, (dict, list)):
+        return a is b
+    return _js_eq(a, b)
+
+
 def _compare_values(v1, v2) -> bool:
     """Value equality for dedup inside node merge
     (cf. reference util.js:376-400; scalar compare is JS ===)."""
@@ -62,13 +70,18 @@ def _compare_values(v1, v2) -> bool:
     if v1 is v2:
         return True
     if is_value(v1) and is_value(v2):
-        return (_js_eq(v1.get("@value"), v2.get("@value"))
-                and v1.get("@type") == v2.get("@type")
-                and v1.get("@language") == v2.get("@language")
-                and v1.get("@index") == v2.get("@index"))
+        # every member compare is JS === (util.js:383-389): scalars by
+        # value, but a non-scalar member (e.g. a garbage ARRAY @type)
+        # only equals ITSELF — two structurally equal arrays are
+        # different objects, so such value objects never dedupe
+        # (merge fuzz seed 6726)
+        return (_js_strict_eq(v1.get("@value"), v2.get("@value"))
+                and _js_strict_eq(v1.get("@type"), v2.get("@type"))
+                and _js_strict_eq(v1.get("@language"), v2.get("@language"))
+                and _js_strict_eq(v1.get("@index"), v2.get("@index")))
     if (isinstance(v1, dict) and "@id" in v1
             and isinstance(v2, dict) and "@id" in v2):
-        return v1["@id"] == v2["@id"]
+        return _js_strict_eq(v1["@id"], v2["@id"])
     return False
 
 
@@ -188,6 +201,18 @@ def create_node_map(element, graph_map: dict, active_graph: str,
         if prop == "@reverse":
             referenced = {"@id": node_id}
             for rprop, values in element["@reverse"].items():
+                if not isinstance(values, list):
+                    # relabelBlankNodes treats a @reverse MAP as an
+                    # anonymous bnode and injects "@id" into it
+                    # (util.js:431-455, graphTypes.js:106-120); the
+                    # reference then iterates that string's characters
+                    # and crashes in addValue on an undefined subject
+                    # (nodeMap.js:123-135, util.js:275) — mirrored as
+                    # a typed error (merge fuzz seed 142)
+                    raise JsonLdError(
+                        "Invalid @reverse map entry "
+                        f"{rprop!r}: value is not an array.",
+                        "invalid reverse value")
                 for value in values:
                     create_node_map(value, graph_map, active_graph,
                                     issuer, referenced, rprop)
@@ -273,3 +298,34 @@ def flatten_expanded(expanded, issuer: Optional[IdentifierIssuer] = None
             continue
         flattened.append(node)
     return flattened
+
+
+def relabel_blank_nodes(element, issuer: IdentifierIssuer):
+    """Relabel all blank nodes in expanded JSON-LD in place
+    (cf. reference util.js:431-455 _labelBlankNodes): a blank NODE is
+    an object whose @id is missing, non-string, or ``_:``-prefixed and
+    that is not a @value/@set/@list (graphTypes.js:106-120) — an
+    anonymous node is ASSIGNED a fresh id; keys recurse in sorted
+    order (issuance order is observable); bnode strings outside @id
+    (e.g. in @type arrays) are intentionally NOT relabeled."""
+    if isinstance(element, list):
+        for i, item in enumerate(element):
+            element[i] = relabel_blank_nodes(item, issuer)
+    elif is_list(element):
+        element["@list"] = relabel_blank_nodes(element["@list"], issuer)
+    elif isinstance(element, dict):
+        if "@id" in element:
+            bid = element["@id"]
+            is_bnode = not isinstance(bid, str) or bid.startswith("_:")
+        else:
+            is_bnode = (len(element) == 0
+                        or not ("@value" in element or "@set" in element
+                                or "@list" in element))
+        if is_bnode:
+            old = element.get("@id")
+            element["@id"] = issuer.get_id(
+                old if isinstance(old, str) else None)
+        for key in sorted(element.keys()):
+            if key != "@id":
+                element[key] = relabel_blank_nodes(element[key], issuer)
+    return element

@@ -240,7 +240,8 @@ def gen_op_options(seed: int, op: str) -> dict:
     rng = random.Random(seed * 53 + {"expand": 1, "flatten": 2,
                                      "toRDF": 3, "compact": 4,
                                      "frame": 5, "compactX": 7,
-                                     "flattenC": 8, "frameX": 9}.get(op, 6))
+                                     "flattenC": 8, "frameX": 9,
+                                     "merge": 10}.get(op, 6))
     opts: dict = {}
     if rng.random() < 0.15:
         opts["processingMode"] = "json-ld-1.0"
@@ -267,6 +268,9 @@ def gen_op_options(seed: int, op: str) -> dict:
             opts["produceGeneralizedRdf"] = True
         if rng.random() < 0.25:
             opts["rdfDirection"] = "i18n-datatype"
+    elif op == "merge":
+        if rng.random() < 0.35:
+            opts["mergeNodes"] = False
     elif op in ("frame", "frameX"):
         if rng.random() < 0.2:
             opts["omitDefault"] = True
@@ -391,6 +395,10 @@ def run_mine(op: str, doc, options: dict):
         if op in ("frame", "frameX"):
             return {"result": api.frame(doc, options["_frame"],
                                         dict(options))}
+        if op == "merge":
+            return {"result": api.merge(options["_docs"],
+                                        options.get("_ctx"),
+                                        dict(options))}
         if op == "fromRDF":
             opts = {k: v for k, v in options.items()
                     if not k.startswith("_")}
@@ -474,7 +482,7 @@ def main():
         main_remote(n, start)
         return
     ops = ["expand", "flatten", "toRDF", "compact", "frame", "fromRDF",
-           "compactX", "flattenC", "frameX"]
+           "compactX", "flattenC", "frameX", "merge"]
     base = "https://fuzz.example/doc.jsonld"
     seeds = list(range(start, start + n))
     docs = {s: gen_doc(s) for s in seeds}
@@ -485,6 +493,16 @@ def main():
     # shared N-Quads transport for the fromRDF round-trip leg; None
     # when the doc itself errors (those seeds skip the fromRDF op)
     nqs = {s: nquads_for_seed(docs[s]) for s in seeds}
+
+    def merge_case(s):
+        """merge leg: this doc + an independent doc, with a per-seed
+        compaction context (none / own / foreign)."""
+        rng = random.Random(s * 41 + 17)
+        pair = [docs[s], gen_doc(3 * s + 2)]
+        r = rng.random()
+        mctx = None if r < 0.5 else (
+            docs[s]["@context"] if r < 0.75 else xctx[s])
+        return pair, mctx
     reqs = []
     for s in seeds:
         for op in ops:
@@ -513,6 +531,13 @@ def main():
                 reqs.append({"op": "frame", "input": docs[s],
                              "frame": gen_frame(s, gen_doc(2 * s + 1)),
                              "options": op_opts})
+            elif op == "merge":
+                pair, mctx = merge_case(s)
+                req = {"op": "merge", "input": pair,
+                       "options": op_opts}
+                if mctx is not None:
+                    req["context"] = mctx
+                reqs.append(req)
             elif op == "frame":
                 reqs.append({"op": op, "input": docs[s],
                              "frame": gen_frame(s, docs[s]),
@@ -543,6 +568,11 @@ def main():
                                 else xctx[s])
             elif op == "frameX":
                 opts["_frame"] = gen_frame(s, gen_doc(2 * s + 1))
+            elif op == "merge":
+                pair, mctx = merge_case(s)
+                opts["_docs"] = pair
+                if mctx is not None:
+                    opts["_ctx"] = mctx
             elif op == "frame":
                 opts["_frame"] = gen_frame(s, docs[s])
             elif op == "fromRDF":

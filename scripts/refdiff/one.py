@@ -72,6 +72,21 @@ def main():
             req["context"] = fctx
             opts["_ctx"] = fctx
             print("FCTX:", json.dumps(fctx, indent=1))
+        elif op == "merge":
+            pair = [doc, fuzz.gen_doc(3 * seed + 2)]
+            import random as _r
+            rng = _r.Random(seed * 41 + 17)
+            r = rng.random()
+            mctx = None if r < 0.5 else (
+                doc["@context"] if r < 0.75
+                else fuzz.gen_doc(2 * seed + 1)["@context"])
+            req["input"] = pair
+            if mctx is not None:
+                req["context"] = mctx
+                opts["_ctx"] = mctx
+            opts["_docs"] = pair
+            print("DOC2:", json.dumps(pair[1], indent=1))
+            print("MCTX:", json.dumps(mctx, indent=1))
         elif op in ("frame", "frameX"):
             fr = fuzz.gen_frame(
                 seed, doc if op == "frame" else fuzz.gen_doc(2 * seed + 1))

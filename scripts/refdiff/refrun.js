@@ -58,6 +58,12 @@ async function run(req) {
         result = await jsonld.fromRDF(NQuads.parse(req.input), options);
         break;
       }
+      case 'merge':
+        // input is an ARRAY of documents (jsonld.js:770-857)
+        result = await jsonld.merge(
+          req.input, req.context !== undefined ? req.context : null,
+          options);
+        break;
       default: throw new Error('unknown op ' + req.op);
     }
     return {result};

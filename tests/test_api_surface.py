@@ -22,11 +22,12 @@ def test_merge_two_docs():
     node = by_id[V + "a"]
     assert node[V + "name"] == [{"@value": "x"}]
     assert node[V + "age"] == [{"@value": 3}]
-    # bnodes relabeled with per-doc prefixes — never collide
+    # two-step relabeling (jsonld.js:800-830): collision-proof per-doc
+    # "_:b{i}-" prefixes first, then ONE shared "_:b" issuer in the
+    # node map — final labels are _:b0.._:bN and never collide
     kids = [v["@id"] for v in node[V + "child"]]
     assert len(set(kids)) == 2
-    assert any(k.startswith("_:b0-") for k in kids)
-    assert any(k.startswith("_:b1-") for k in kids)
+    assert set(kids) == {"_:b0", "_:b1"}
 
 
 def test_merge_no_merge_nodes_keeps_first():
@@ -35,6 +36,31 @@ def test_merge_no_merge_nodes_keeps_first():
     merged = api.merge([d1, d2], options={"mergeNodes": False})
     by_id = {n["@id"]: n for n in merged}
     assert by_id[V + "a"][V + "name"] == [{"@value": "first"}]
+
+
+def test_merge_keep_first_does_not_replace_stub():
+    """With mergeNodes=False, later docs fold in only MISSING node-map
+    keys (jsonld.js:815-829) — a subject-reference STUB created by a
+    doc-0 reference blocks a later full definition."""
+    d1 = {"@context": {"@vocab": V, "knows": {"@type": "@id"}},
+          "@id": V + "a", "knows": V + "b"}
+    d2 = {"@context": {"@vocab": V}, "@id": V + "b", "name": "full"}
+    merged = api.merge([d1, d2], options={"mergeNodes": False})
+    by_id = {n["@id"]: n for n in merged}
+    # the full definition of b was dropped: the stub key already existed
+    assert V + "b" not in by_id
+
+
+def test_merge_reverse_map_crash_is_typed():
+    """relabelBlankNodes injects an @id into a @reverse MAP (it looks
+    like an anonymous bnode, util.js:431-455); the reference then
+    crashes in createNodeMap (nodeMap.js:123-135) — mirrored as a
+    typed error (merge fuzz seed 142)."""
+    doc = {"@context": {"@vocab": V},
+           "alpha": {"@reverse": {V + "rp": {"@id": "urn:rev"}},
+                     "name": "anon"}}
+    with pytest.raises(JsonLdError):
+        api.merge([doc, {"@context": {"@vocab": V}, "name": "other"}])
 
 
 def test_merge_with_context_compacts():
@@ -345,3 +371,21 @@ def test_cached_context_event_replay():
         expand_document(doc2, opts)
         assert [e["code"] for e in opts["_events"]] == \
             ["invalid @language value"]
+
+
+def test_merge_array_type_value_objects_never_dedupe():
+    """compareValues is JS === per member (util.js:383-389): a garbage
+    value object carrying an ARRAY @type only equals itself, so two
+    structurally equal copies from two docs both survive the merge
+    (fuzz seed 6726)."""
+    # a @type-CONTAINER map key is pushed onto a value object's @type
+    # as an ARRAY during expansion — the only spec-legal source of an
+    # array @type on a value object
+    d = {"@context": {"@vocab": V,
+                      "alpha": {"@id": V + "alpha", "@container": "@type"}},
+         "@id": V + "a",
+         "alpha": {"delta": {"@value": True}}}
+    import copy
+    merged = api.merge([d, copy.deepcopy(d)])
+    node = {n["@id"]: n for n in merged}[V + "a"]
+    assert len(node[V + "alpha"]) == 2
