@@ -209,8 +209,13 @@ def _doc_simhash(sf_dir: str):
 
 
 def _doc_simhash_near_dup(sf_dir: str):
+    # md5 hash mode: the whole near-dup pipeline (signature -> 16-bit
+    # band LSH -> exact Hamming verify) is deterministic and has no
+    # caps, so with a DuckDB-reproducible hash it gets a value-level
+    # SQL oracle (band self-join + bit_count(xor))
     from jsonld_js_ray.functions.dedup_text import simhash_near_dup
-    return simhash_near_dup(_docs(sf_dir), max_hamming=8)
+    return simhash_near_dup(_docs(sf_dir), max_hamming=8,
+                            hash_mode="md5")
 
 
 def _doc_near_dup_components(sf_dir: str):
@@ -676,6 +681,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(s, 0) % 9223372036854775808 AS BIGINT)
                        AS simhash
             FROM documents d LEFT JOIN sims USING (doc_id)
+        """,
+        "doc_simhash_near_dup": r"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9_]+')) AS tok
+                FROM documents)
+            ), h AS (
+              SELECT doc_id, md5_number_lower(tok) AS h64 FROM toks
+            ), votes AS (
+              SELECT doc_id, j,
+                (CASE WHEN 2 * SUM(((h64 >> j) & 1)::BIGINT)
+                           - COUNT(*) > 0
+                      THEN 1::UBIGINT ELSE 0::UBIGINT END) << j AS bitval
+              FROM h CROSS JOIN range(64) t(j)
+              GROUP BY doc_id, j
+            ), sims AS (
+              SELECT doc_id, SUM(bitval) AS s FROM votes GROUP BY doc_id
+            ), sig AS (
+              SELECT d.doc_id AS doc_id,
+                     CAST(COALESCE(s, 0) % 9223372036854775808 AS BIGINT)
+                         AS simhash
+              FROM documents d LEFT JOIN sims USING (doc_id)
+            ), bands AS (
+              SELECT doc_id, simhash, j AS band_id,
+                     (simhash >> (j * 16)::INT) & 65535 AS band_val
+              FROM sig CROSS JOIN range(4) t(j)
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.simhash AS sa, b.simhash AS sb
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+            FROM cand
+            WHERE bit_count(xor(sa, sb)) <= 8
         """,
         "doc_fingerprint": r"""
             WITH d AS (

@@ -729,7 +729,8 @@ def ngram_jaccard_pairs(docs_ds, n: int = 3, threshold: float = 0.5,
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
-def simhash_near_dup(docs_ds, max_hamming: int = 3, n_bands: int = 4):
+def simhash_near_dup(docs_ds, max_hamming: int = 3, n_bands: int = 4,
+                     hash_mode: str = "fast"):
     """SimHash near-duplicate pairs: signatures → bit-band LSH →
     exact Hamming verify.
 
@@ -742,7 +743,7 @@ def simhash_near_dup(docs_ds, max_hamming: int = 3, n_bands: int = 4):
     Python. Returns (doc_a, doc_b, hamming)."""
     from .dedup_text import simhash_signatures  # self-import safe
 
-    sigs = simhash_signatures(docs_ds)
+    sigs = simhash_signatures(docs_ds, hash_mode=hash_mode)
     band_bits = 64 // n_bands
     mask = np.uint64((1 << band_bits) - 1)
     n_coarse = 256

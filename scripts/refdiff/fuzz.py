@@ -245,6 +245,11 @@ def gen_op_options(seed: int, op: str) -> dict:
     opts: dict = {}
     if rng.random() < 0.15:
         opts["processingMode"] = "json-ld-1.0"
+    if rng.random() < 0.1:
+        # safe mode promotes lossy-event warnings to errors
+        # (events.js:8-33; the fuzz compare is error-PRESENCE, so both
+        # engines must agree on WHICH inputs trip an event)
+        opts["safe"] = True
     if rng.random() < 0.15:
         # expandContext is resolved and layered under the document's
         # own context at every API's internal expansion
