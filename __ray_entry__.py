@@ -519,6 +519,35 @@ def _media_decode(sf_dir: str):
     return decode_features(media)
 
 
+def _media_real_decode_bmp(sf_dir: str):
+    """REAL image decode lane: genuine 24-bit BMP payloads decoded by
+    the stdlib codec (no imaging library), 8x8 block-mean grayscale
+    thumbnail features — use_stub=False exercised in this environment."""
+    import ray
+    import pyarrow.compute as pc
+    from jsonld_js_ray.functions.multimodal import (
+        decode_features, synthesize_real_media_table)
+    from jsonld_js_ray.sources.repo_files import sf_from_dir
+    n = max(50, int(sf_from_dir(sf_dir) * 10_000))
+    tbl = synthesize_real_media_table(n)
+    media = ray.data.from_arrow(tbl.filter(
+        pc.equal(tbl.column("kind"), "image")))
+    return decode_features(media, use_stub=False, codec="bmp")
+
+
+def _media_real_audio_chunks_wav(sf_dir: str):
+    """REAL audio lane: PCM16 WAV payloads decoded by the stdlib
+    `wave` module; chunk boundaries come from actual frames and each
+    chunk carries its RMS amplitude."""
+    import ray
+    from jsonld_js_ray.functions.multimodal import (
+        chunk_audio, synthesize_real_media_table)
+    from jsonld_js_ray.sources.repo_files import sf_from_dir
+    n = max(50, int(sf_from_dir(sf_dir) * 10_000))
+    media = ray.data.from_arrow(synthesize_real_media_table(n))
+    return chunk_audio(media, chunk_ms=500, codec="wav")
+
+
 def _media_frames(sf_dir: str):
     import ray
     from jsonld_js_ray.functions.multimodal import (
@@ -593,6 +622,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _events_sessions,
         # multimodal plumbing
         "media_decode_features": _media_decode,
+        "media_real_decode_bmp": _media_real_decode_bmp,
+        "media_real_audio_chunks_wav": _media_real_audio_chunks_wav,
         "media_frame_sample": _media_frames,
         "media_audio_chunks": _media_audio_chunks,
     }
