@@ -74,7 +74,14 @@ def expand(active_ctx: ActiveContext, active_property: Optional[str],
 
     # --- scalars -----------------------------------------------------------
     if is_scalar(element):
-        if active_property is None or active_property == "@graph":
+        # scalars INSIDE lists survive even with a null/@graph active
+        # property (expand.js:90-110: `!insideList &&` guards the drop)
+        if not inside_list and (
+                active_property is None
+                or active_property == "@graph"
+                or expand_iri(active_ctx, active_property,
+                              vocab_mode=True,
+                              options=options) == "@graph"):
             emit_event(options, "free-floating scalar",
                        "Dropping free-floating scalar during expansion.")
             return None
@@ -498,8 +505,14 @@ def _expand_object(active_ctx, active_property, element, result, nests,
                 next_ap = None
             ev = expand(active_ctx, next_ap, value, options,
                         inside_list=True)
+            if ev is None:
+                # a null expansion (e.g. a free-floating scalar under
+                # a top-level @list) DROPS the whole entry before the
+                # set/list-object validation (expand.js:936-942) —
+                # the result never carries the @list key
+                continue
             if not isinstance(ev, list):
-                ev = [ev] if ev is not None else []
+                ev = [ev]
             result["@list"] = ev
             continue
 
@@ -608,8 +621,23 @@ def _expand_type(type_scoped_ctx, value, result, options, frame_expansion):
                           "invalid type value")
 
     if isinstance(value, list):
-        expanded = [one(v) for v in value]
-        expanded = [e for e in expanded if e is not None]
+        items = [one(v) for v in value]
+        items = [e for e in items if e is not None]
+        # addValue with propertyIsArray=!isFrame (expand.js:632-658,
+        # util.js:261-282): outside frame mode a ONE-element array
+        # collapses to the scalar and an EMPTY array stores nothing —
+        # the scalar/array distinction is live downstream: the
+        # post-process @type-arrayification branch preempts the
+        # set/list-object validation only for non-array @type
+        # (expand.js:334-336 vs :337-345; corrupt fuzz seed 149)
+        if frame_expansion:
+            expanded = items
+        elif not items:
+            return
+        elif len(items) == 1:
+            expanded = items[0]
+        else:
+            expanded = items
     else:
         expanded = one(value)
         if expanded is None:

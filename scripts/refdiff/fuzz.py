@@ -157,6 +157,47 @@ def gen_node(rng: random.Random, depth: int) -> dict:
     return node
 
 
+_CORRUPTIONS = [
+    lambda rng: ("@id", rng.choice([5, True, ["urn:a"], {"x": 1}])),
+    lambda rng: ("@type", rng.choice([7, {"a": 1}, [3], [None]])),
+    lambda rng: ("@index", rng.choice([7, ["i"], {"k": "v"}])),
+    lambda rng: ("@reverse", rng.choice(["str", 5, ["x"]])),
+    lambda rng: ("@list", rng.choice(["notalist-ok-actually", 5])),
+    lambda rng: ("@value", {"@value": "v", "@language": "en",
+                            "@type": "http://ex/DT"}),
+    lambda rng: ("@graph", rng.choice([5, "str"])),
+    lambda rng: ("@context", rng.choice([5, True])),
+    lambda rng: ("@language", rng.choice([5, ["en"], {"l": 1}])),
+    lambda rng: ("@direction", rng.choice(["diagonal", 5, ["ltr"]])),
+    lambda rng: ("@included", rng.choice([5, "str",
+                                          {"@value": "v"}])),
+    lambda rng: ("@nest", rng.choice([5, "str"]))]
+
+
+def corrupt_doc(seed: int) -> dict:
+    """Deliberately INVALID shapes injected into a valid fuzz doc:
+    both engines must agree on error-vs-result (error presence is the
+    compare for error outcomes). Exercises every validation predicate
+    the happy-path grammar never trips."""
+    rng = random.Random(seed * 77 + 29)
+    doc = gen_doc(seed)
+    # walk to a random nested node (or stay top-level)
+    target = doc
+    for _ in range(rng.randint(0, 2)):
+        dict_children = [v for v in target.values()
+                         if isinstance(v, dict) and v is not
+                         target.get("@context")]
+        if not dict_children:
+            break
+        target = rng.choice(dict_children)
+    key, bad = rng.choice(_CORRUPTIONS)(rng)
+    if key == "@context":
+        doc["@context"] = bad
+    else:
+        target[key] = bad
+    return doc
+
+
 def gen_doc(seed: int) -> dict:
     rng = random.Random(seed)
     doc = gen_node(rng, rng.randint(1, 3))
@@ -387,6 +428,9 @@ def run_mine(op: str, doc, options: dict):
     try:
         if op == "expand":
             return {"result": api.expand(doc, dict(options))}
+        if op == "corrupt":
+            return {"result": api.expand(
+                corrupt_doc(options["_seed"]), dict(options))}
         if op == "flatten":
             return {"result": api.flatten(doc, None, dict(options))}
         if op == "flattenC":
@@ -487,7 +531,7 @@ def main():
         main_remote(n, start)
         return
     ops = ["expand", "flatten", "toRDF", "compact", "frame", "fromRDF",
-           "compactX", "flattenC", "frameX", "merge"]
+           "compactX", "flattenC", "frameX", "merge", "corrupt"]
     base = "https://fuzz.example/doc.jsonld"
     seeds = list(range(start, start + n))
     docs = {s: gen_doc(s) for s in seeds}
@@ -543,6 +587,11 @@ def main():
                 if mctx is not None:
                     req["context"] = mctx
                 reqs.append(req)
+            elif op == "corrupt":
+                # error-agreement leg: an injected invalid shape —
+                # both engines must agree on error-vs-result
+                reqs.append({"op": "expand", "input": corrupt_doc(s),
+                             "options": op_opts})
             elif op == "frame":
                 reqs.append({"op": op, "input": docs[s],
                              "frame": gen_frame(s, docs[s]),
@@ -578,11 +627,14 @@ def main():
                 opts["_docs"] = pair
                 if mctx is not None:
                     opts["_ctx"] = mctx
+            elif op == "corrupt":
+                opts["_corrupt"] = True
             elif op == "frame":
                 opts["_frame"] = gen_frame(s, docs[s])
             elif op == "fromRDF":
                 opts = dict(gen_from_rdf_options(s))
                 opts["_nquads"] = nqs[s]
+            opts["_seed"] = s
             mine = run_mine(op, docs[s], opts)
             if compare(op, ref, mine):
                 n_match += 1

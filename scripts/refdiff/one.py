@@ -72,6 +72,12 @@ def main():
             req["context"] = fctx
             opts["_ctx"] = fctx
             print("FCTX:", json.dumps(fctx, indent=1))
+        elif op == "corrupt":
+            cdoc = fuzz.corrupt_doc(seed)
+            req["op"] = "expand"
+            req["input"] = cdoc
+            opts["_seed"] = seed
+            print("CORRUPT DOC:", json.dumps(cdoc, indent=1))
         elif op == "merge":
             pair = [doc, fuzz.gen_doc(3 * seed + 2)]
             import random as _r
