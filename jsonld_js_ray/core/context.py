@@ -222,9 +222,14 @@ def process_context(active_ctx: ActiveContext, local_ctx, options: dict,
                     override_protected: bool = False,
                     propagate: bool = True,
                     validate_scoped: bool = True,
-                    remote_contexts: Optional[list] = None) -> ActiveContext:
+                    remote_contexts: Optional[list] = None,
+                    cycles: Optional[set] = None) -> ActiveContext:
     if remote_contexts is None:
         remote_contexts = []
+    if cycles is None:
+        # scoped-context VALIDATION recursion guard (reference
+        # context.js:410-418 `cycles` set, threaded through api.process)
+        cycles = set()
 
     # whole-context processed cache: documents overwhelmingly apply the
     # SAME local context to a fresh initial context — the Ray analog of
@@ -487,8 +492,36 @@ def process_context(active_ctx: ActiveContext, local_ctx, options: dict,
                 override_protected=override_protected,
                 validate_scoped=validate_scoped,
                 remote_contexts=remote_contexts)
-
-        # scoped contexts inside term definitions validated lazily on use
+            # eagerly VALIDATE a term's scoped context by processing it
+            # against a CLONE of the result (context.js:407-440): an
+            # invalid scoped context raises at DEFINITION time, term
+            # used or not. Use-time processing still happens lazily.
+            # The validation pass strips the eventHandler (no double
+            # emission to user handlers) but keeps safe mode, whose
+            # in-context errors surface here wrapped like every other
+            # failure (corrupt fuzz seeds 0/13/315).
+            term_val = ctx.get(term)
+            if isinstance(term_val, dict) and "@context" in term_val:
+                key_ctx = term_val["@context"]
+                do_validate = True
+                if isinstance(key_ctx, str):
+                    url = prepend_base(options.get("base"), key_ctx)
+                    if url in cycles:
+                        do_validate = False
+                    else:
+                        cycles.add(url)
+                if do_validate:
+                    vopts = {k: v for k, v in options.items()
+                             if k not in ("_events", "eventHandler")}
+                    try:
+                        process_context(result.clone(), key_ctx, vopts,
+                                        override_protected=True,
+                                        remote_contexts=remote_contexts,
+                                        cycles=cycles)
+                    except JsonLdError:
+                        raise JsonLdError(
+                            f"Invalid scoped context for term {term!r}.",
+                            "invalid scoped context")
     if cache_key is not None and resolver_for_cache is not None:
         captured = options.get("_events", [])
         resolver_for_cache.put_processed(cache_key, (result, list(captured)))

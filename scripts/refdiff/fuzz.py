@@ -174,6 +174,42 @@ _CORRUPTIONS = [
     lambda rng: ("@nest", rng.choice([5, "str"]))]
 
 
+_CTX_CORRUPTIONS = [
+    lambda rng: ("@version", rng.choice([1.2, "1.1", True])),
+    lambda rng: ("@vocab", rng.choice([5, True, ["v"]])),
+    lambda rng: ("@base", rng.choice([5, True, ["b"]])),
+    lambda rng: ("@language", rng.choice([5, ["en"]])),
+    lambda rng: ("@direction", rng.choice(["x", 5, ["ltr"]])),
+    lambda rng: ("@propagate", rng.choice(["yes", 5])),
+    lambda rng: ("@import", rng.choice([5, {"a": 1}])),
+    lambda rng: ("alpha", {"@id": "http://c.example/a",
+                           "@container": "@bogus"}),
+    lambda rng: ("alpha", {"@id": "http://c.example/a",
+                           "@container": ["@list", "@set"]}),
+    lambda rng: ("alpha", {"@id": "http://c.example/a",
+                           "@type": rng.choice([5, ["x"], True])}),
+    lambda rng: ("alpha", {"@id": rng.choice([5, True, ["x"]])}),
+    lambda rng: ("alpha", {"@id": "http://c.example/a",
+                           "@reverse": "http://c.example/r"}),
+    lambda rng: ("alpha", {"@id": "http://c.example/a",
+                           "@prefix": "yes"}),
+    lambda rng: ("alpha", {"@id": "http://c.example/a",
+                           "@nest": rng.choice(["@id", 5])}),
+    lambda rng: ("alpha", {"@id": "http://c.example/a",
+                           "@language": rng.choice([5, ["en"]])}),
+    lambda rng: ("alpha", {"@id": "http://c.example/a",
+                           "@direction": "diag"}),
+    lambda rng: ("alpha", rng.choice([5, True])),
+    lambda rng: ("", "http://c.example/empty-term"),
+    lambda rng: ("@id", "http://c.example/redefine-keyword"),
+    lambda rng: ("alpha", {"@id": "http://c.example/a",
+                           "@context": rng.choice([5, True])}),
+    lambda rng: ("alpha", {"@id": "http://c.example/a",
+                           "@index": rng.choice([5, "notiri-rel"])}),
+    lambda rng: ("alpha", {"@id": "http://c.example/a",
+                           "@protected": "yes"})]
+
+
 def corrupt_doc(seed: int) -> dict:
     """Deliberately INVALID shapes injected into a valid fuzz doc:
     both engines must agree on error-vs-result (error presence is the
@@ -190,6 +226,16 @@ def corrupt_doc(seed: int) -> dict:
         if not dict_children:
             break
         target = rng.choice(dict_children)
+    if rng.random() < 0.45:
+        # context corruption: invalid term definitions / keyword abuse
+        # exercise the context-validation predicates
+        key, bad = rng.choice(_CTX_CORRUPTIONS)(rng)
+        ctx = doc["@context"]
+        if isinstance(ctx, dict):
+            ctx[key] = bad
+        else:
+            doc["@context"] = bad
+        return doc
     key, bad = rng.choice(_CORRUPTIONS)(rng)
     if key == "@context":
         doc["@context"] = bad
