@@ -126,8 +126,16 @@ def merge(docs: list, ctx=None, options: Optional[dict] = None):
     # first-encounter order — so merged output carries _:b0.._:bN
     shared_issuer = IdentifierIssuer("_:b")
     for i, doc in enumerate(docs):
+        # deep-copy before the in-place relabel: expansion output can
+        # alias sub-structures of the INPUT document (the reference is
+        # immune because jsonld.js clones input at the API boundary) —
+        # without this, relabeling leaks @ids into the caller's doc
+        # (found by the fuzz campaign as cross-op state leakage at
+        # seed 5874: merge corrupted the doc a later frame op read)
+        import copy as _copy
         expanded = relabel_blank_nodes(
-            expand_document(doc, options), IdentifierIssuer(f"_:b{i}-"))
+            _copy.deepcopy(expand_document(doc, options)),
+            IdentifierIssuer(f"_:b{i}-"))
         if merge_nodes or i == 0:
             create_node_map(expanded, graph_map, "@default", shared_issuer)
         else:

@@ -222,19 +222,27 @@ def _post_process(active_ctx, active_property, element, result, options,
             emit_event(options, "null @value value",
                        "Dropping null @value object.")
             return None
-        elif (not isinstance(value, str) and "@language" in result
-              and not frame_expansion):
+        elif "@language" in result and not all(
+                isinstance(v, str) or (isinstance(v, dict) and not v)
+                for v in (value if isinstance(value, list) else [value])):
+            # only strings (or frame {} wildcards — the sole reason an
+            # object can appear here) may be language-tagged
+            # (expand.js:318-325: `isString(v) || isEmptyObject(v)` with
+            # NO isFrame exemption; frameC fuzz seed 3540)
             raise JsonLdError(
                 "@language used on a non-string @value.",
                 "invalid language-tagged value")
         elif "@type" in result and result["@type"] != "@json":
+            # one clause for BOTH modes (expand.js:326-333): every type
+            # is an absolute non-blank-node IRI or a {} wildcard —
+            # bnode @types in value patterns are invalid even in frame
+            # mode (frameC fuzz seed 6346)
             t = result["@type"]
-            ok = (isinstance(t, str) and is_absolute_iri(t)
-                  and not t.startswith("_:"))
-            if frame_expansion:
-                ts = t if isinstance(t, list) else [t]
-                ok = all(isinstance(x, str) and (is_absolute_iri(x))
-                         for x in ts) or (isinstance(t, dict) and not t)
+            ts = t if isinstance(t, list) else [t]
+            ok = all((isinstance(x, str) and is_absolute_iri(x)
+                      and not x.startswith("_:"))
+                     or (isinstance(x, dict) and not x)
+                     for x in ts)
             if not ok:
                 raise JsonLdError("invalid @type in value object.",
                                   "invalid typed value")
@@ -606,6 +614,41 @@ def _expand_object(active_ctx, active_property, element, result, nests,
 
 
 def _expand_type(type_scoped_ctx, value, result, options, frame_expansion):
+    # frame-mode default objects transform FIRST (expand.js:622-630):
+    # keys vocab-expand, values base+vocab-expand, arrays preserved —
+    # {"@default": "T"} becomes {"@default": ["<expanded T>"]} and is
+    # stored as-is
+    if frame_expansion and isinstance(value, dict) and value:
+        def _exp(v, *, vocab_only=False):
+            if not isinstance(v, str):
+                return v
+            return expand_iri(type_scoped_ctx, v,
+                              base_mode=not vocab_only, vocab_mode=True,
+                              options=options)
+        value = {
+            _exp(k, vocab_only=True):
+                [_exp(vv) for vv in (v if isinstance(v, list) else [v])]
+            for k, v in value.items()}
+    # validateTypeValue (util.js:154-181) gates the WHOLE value before
+    # any per-item expansion: a string, an array of ALL strings, or —
+    # frame mode only — an empty object / a {"@default": strings}
+    # object. A mixed array like [{}, "urn:t"] is invalid even in
+    # frame mode (frameC fuzz seed 249).
+    valid = (isinstance(value, str)
+             or (isinstance(value, list)
+                 and all(isinstance(v, str) for v in value)))
+    if not valid and frame_expansion and isinstance(value, dict):
+        if len(value) == 0:
+            valid = True
+        elif len(value) == 1 and "@default" in value:
+            dv = value["@default"]
+            dv = dv if isinstance(dv, list) else [dv]
+            valid = all(isinstance(v, str) for v in dv)
+    if not valid:
+        raise JsonLdError(
+            '"@type" value must be a string, an array of strings, an '
+            "empty object, or a default object.", "invalid type value")
+
     def one(v):
         if isinstance(v, str):
             expanded = expand_iri(type_scoped_ctx, v, base_mode=True,
@@ -620,24 +663,30 @@ def _expand_type(type_scoped_ctx, value, result, options, frame_expansion):
         raise JsonLdError("@type value must be a string.",
                           "invalid type value")
 
-    if isinstance(value, list):
-        items = [one(v) for v in value]
-        items = [e for e in items if e is not None]
-        # addValue with propertyIsArray=!isFrame (expand.js:632-658,
-        # util.js:261-282): outside frame mode a ONE-element array
-        # collapses to the scalar and an EMPTY array stores nothing —
-        # the scalar/array distinction is live downstream: the
-        # post-process @type-arrayification branch preempts the
-        # set/list-object validation only for non-array @type
-        # (expand.js:334-336 vs :337-345; corrupt fuzz seed 149)
-        if frame_expansion:
-            expanded = items
-        elif not items:
-            return
-        elif len(items) == 1:
-            expanded = items[0]
+    # addValue with propertyIsArray=isFrame (expand.js:632-658,
+    # util.js:261-282). The scalar/array distinction is live
+    # downstream: the post-process @type-arrayification branch preempts
+    # the set/list-object validation only for non-array @type
+    # (expand.js:334-336 vs :337-345; corrupt fuzz seed 149).
+    if frame_expansion:
+        # frame mode: @type is ALWAYS stored as an array, even a
+        # singleton/empty — so a frame @type beside an @list key DOES
+        # reach the set/list validation (frameC fuzz seed 571)
+        if isinstance(value, list):
+            expanded = [e for e in (one(v) for v in value)
+                        if e is not None]
+        elif isinstance(value, dict):
+            expanded = [value]
         else:
-            expanded = items
+            e = one(value)
+            expanded = [] if e is None else [e]
+    elif isinstance(value, list):
+        # non-frame: a ONE-element array collapses to the scalar and
+        # an EMPTY array stores nothing
+        items = [e for e in (one(v) for v in value) if e is not None]
+        if not items:
+            return
+        expanded = items[0] if len(items) == 1 else items
     else:
         expanded = one(value)
         if expanded is None:

@@ -90,6 +90,12 @@ def frame_document(document, frame_doc, options: dict):
     # (cf. reference jsonld.js:487-489 opts.link = {})
     compact_opts = dict(options)
     compact_opts["link"] = {}
+    # the reference cleans @preserve on the EXPANDED output before
+    # compaction (frame.js:62-64); this port cleans after — the one
+    # place the order is observable is @type, where a default-object
+    # fill leaves {'@preserve': [types]} wrappers that compaction's
+    # IRI handling can't digest: unwrap just those here
+    _unwrap_type_preserve(results)
     compacted = compact_document(results, frame_ctx, compact_opts,
                                  from_flatten=True)
     # cleanup @preserve / null
@@ -551,7 +557,18 @@ def _match_frame(state, subjects, frame, parent, active_property,
 
         # defaults
         for prop in sorted(frame_obj.keys()):
-            if is_keyword(prop) or prop in output:
+            if prop == "@type":
+                # a DEFAULT-OBJECT @type pattern participates in the
+                # defaults fill like a regular property
+                # (frame.js:271-277): output gains
+                # {'@preserve': [default types]} when unmatched
+                tfv = frame_obj[prop]
+                tf0 = tfv[0] if isinstance(tfv, list) and tfv else tfv
+                if not (isinstance(tf0, dict) and "@default" in tf0):
+                    continue
+                if prop in output:
+                    continue
+            elif is_keyword(prop) or prop in output:
                 continue
             pf = frame_obj[prop]
             if isinstance(pf, list):
@@ -661,6 +678,34 @@ def _prune_bnodes(element, to_prune: set, _seen: set | None = None):
             del element["@id"]
         for v in element.values():
             _prune_bnodes(v, to_prune, _seen)
+
+
+def _unwrap_type_preserve(element, _seen: set | None = None):
+    """Unwrap {'@preserve': [..]} wrappers inside @type arrays, in
+    place (the pre-compaction slice of the reference's
+    _cleanupPreserve, frame.js:694-745)."""
+    if _seen is None:
+        _seen = set()
+    if isinstance(element, list):
+        for e in element:
+            _unwrap_type_preserve(e, _seen)
+    elif isinstance(element, dict):
+        if id(element) in _seen:
+            return
+        _seen.add(id(element))
+        ts = element.get("@type")
+        if isinstance(ts, list):
+            flat = []
+            for t in ts:
+                if isinstance(t, dict) and "@preserve" in t:
+                    pv = t["@preserve"]
+                    flat.extend(pv if isinstance(pv, list) else [pv])
+                else:
+                    flat.append(t)
+            element["@type"] = flat
+        for k, v in element.items():
+            if k != "@type":
+                _unwrap_type_preserve(v, _seen)
 
 
 def _cleanup_preserve(element, _memo: dict | None = None):

@@ -210,6 +210,36 @@ _CTX_CORRUPTIONS = [
                            "@protected": "yes"})]
 
 
+_FRAME_CORRUPTIONS = [
+    lambda rng: ("@embed", rng.choice(["@bogus", 5, ["@once"],
+                                       {"e": 1}])),
+    lambda rng: ("@explicit", rng.choice(["yes", 5])),
+    lambda rng: ("@requireAll", rng.choice(["yes", 5])),
+    lambda rng: ("@omitDefault", rng.choice(["yes", 5])),
+    lambda rng: ("@id", rng.choice([5, [5], ["_:b0"],
+                                    "relative-id", [{}, "urn:x"]])),
+    lambda rng: ("@type", rng.choice([5, [5], ["_:b0"],
+                                      [{}, "urn:t"], "relative-t"])),
+    lambda rng: ("@default", rng.choice([{"@list": 5}, 5]))]
+
+
+def corrupt_frame(seed: int, frame: dict) -> dict:
+    """Inject one invalid pattern into a generated frame — frame
+    validation runs per recursion and per property subframe
+    (frame.js:78,574,446-476), so placement depth matters."""
+    rng = random.Random(seed * 131 + 7)
+    target = frame
+    for _ in range(rng.randint(0, 2)):
+        dict_children = [v for k, v in target.items()
+                         if isinstance(v, dict) and k != "@context"]
+        if not dict_children:
+            break
+        target = rng.choice(dict_children)
+    key, bad = rng.choice(_FRAME_CORRUPTIONS)(rng)
+    target[key] = bad
+    return frame
+
+
 def corrupt_doc(seed: int) -> dict:
     """Deliberately INVALID shapes injected into a valid fuzz doc:
     both engines must agree on error-vs-result (error presence is the
@@ -328,7 +358,8 @@ def gen_op_options(seed: int, op: str) -> dict:
                                      "toRDF": 3, "compact": 4,
                                      "frame": 5, "compactX": 7,
                                      "flattenC": 8, "frameX": 9,
-                                     "merge": 10}.get(op, 6))
+                                     "merge": 10,
+                                     "frameC": 11}.get(op, 6))
     opts: dict = {}
     if rng.random() < 0.15:
         opts["processingMode"] = "json-ld-1.0"
@@ -363,7 +394,7 @@ def gen_op_options(seed: int, op: str) -> dict:
     elif op == "merge":
         if rng.random() < 0.35:
             opts["mergeNodes"] = False
-    elif op in ("frame", "frameX"):
+    elif op in ("frame", "frameX", "frameC"):
         if rng.random() < 0.2:
             opts["omitDefault"] = True
         if rng.random() < 0.2:
@@ -487,7 +518,7 @@ def run_mine(op: str, doc, options: dict):
         if op in ("compact", "compactX"):
             return {"result": api.compact(doc, options["_ctx"],
                                           dict(options))}
-        if op in ("frame", "frameX"):
+        if op in ("frame", "frameX", "frameC"):
             return {"result": api.frame(doc, options["_frame"],
                                         dict(options))}
         if op == "merge":
@@ -577,7 +608,8 @@ def main():
         main_remote(n, start)
         return
     ops = ["expand", "flatten", "toRDF", "compact", "frame", "fromRDF",
-           "compactX", "flattenC", "frameX", "merge", "corrupt"]
+           "compactX", "flattenC", "frameX", "merge", "corrupt",
+           "frameC"]
     base = "https://fuzz.example/doc.jsonld"
     seeds = list(range(start, start + n))
     docs = {s: gen_doc(s) for s in seeds}
@@ -638,6 +670,12 @@ def main():
                 # both engines must agree on error-vs-result
                 reqs.append({"op": "expand", "input": corrupt_doc(s),
                              "options": op_opts})
+            elif op == "frameC":
+                # corrupted-FRAME error agreement
+                reqs.append({"op": "frame", "input": docs[s],
+                             "frame": corrupt_frame(
+                                 s, gen_frame(s, docs[s])),
+                             "options": op_opts})
             elif op == "frame":
                 reqs.append({"op": op, "input": docs[s],
                              "frame": gen_frame(s, docs[s]),
@@ -675,6 +713,8 @@ def main():
                     opts["_ctx"] = mctx
             elif op == "corrupt":
                 opts["_corrupt"] = True
+            elif op == "frameC":
+                opts["_frame"] = corrupt_frame(s, gen_frame(s, docs[s]))
             elif op == "frame":
                 opts["_frame"] = gen_frame(s, docs[s])
             elif op == "fromRDF":

@@ -93,9 +93,12 @@ def main():
             opts["_docs"] = pair
             print("DOC2:", json.dumps(pair[1], indent=1))
             print("MCTX:", json.dumps(mctx, indent=1))
-        elif op in ("frame", "frameX"):
+        elif op in ("frame", "frameX", "frameC"):
             fr = fuzz.gen_frame(
-                seed, doc if op == "frame" else fuzz.gen_doc(2 * seed + 1))
+                seed, fuzz.gen_doc(2 * seed + 1) if op == "frameX"
+                else doc)
+            if op == "frameC":
+                fr = fuzz.corrupt_frame(seed, fr)
             req["op"] = "frame"
             req["frame"] = fr
             opts["_frame"] = fr
