@@ -225,6 +225,27 @@ def _doc_near_dup_components(sf_dir: str):
     return connected_components(pairs)
 
 
+def _doc_simhash_components(sf_dir: str):
+    # connected components over the simhash md5-mode near-dup pair
+    # graph: every stage of the chain (signature -> band LSH -> Hamming
+    # verify -> min-label components) is deterministic, so the full
+    # operator composition gets a DuckDB value oracle (recursive-CTE
+    # transitive closure + MIN over reachable labels)
+    from jsonld_js_ray.functions.dedup_text import (
+        connected_components, simhash_near_dup)
+    pairs = simhash_near_dup(_docs(sf_dir), max_hamming=8,
+                             hash_mode="md5")
+    pairs = pairs.map_batches(
+        lambda t: t.select(["doc_a", "doc_b"])
+                   .rename_columns(["a", "b"]),
+        batch_format="pyarrow")
+    comps = connected_components(pairs)
+    return comps.map_batches(
+        lambda t: t.select(["a", "label"])
+                   .rename_columns(["doc_id", "component"]),
+        batch_format="pyarrow")
+
+
 def _doc_ngram_jaccard(sf_dir: str):
     from jsonld_js_ray.functions.dedup_text import ngram_jaccard_pairs
     return ngram_jaccard_pairs(_docs(sf_dir), n=3, threshold=0.5)
@@ -594,6 +615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash": _doc_simhash,
         "doc_simhash_near_dup": _doc_simhash_near_dup,
         "doc_near_dup_components": _doc_near_dup_components,
+        "doc_simhash_components": _doc_simhash_components,
         "doc_ngram_jaccard": _doc_ngram_jaccard,
         "doc_embedding_near_dup": _doc_embedding_near_dup,
         # text analysis
@@ -751,6 +773,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
             FROM cand
             WHERE bit_count(xor(sa, sb)) <= 8
+        """,
+        "doc_simhash_components": r"""
+            WITH RECURSIVE toks AS (
+              SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9_]+')) AS tok
+                FROM documents)
+            ), h AS (
+              SELECT doc_id, md5_number_lower(tok) AS h64 FROM toks
+            ), votes AS (
+              SELECT doc_id, j,
+                (CASE WHEN 2 * SUM(((h64 >> j) & 1)::BIGINT)
+                           - COUNT(*) > 0
+                      THEN 1::UBIGINT ELSE 0::UBIGINT END) << j AS bitval
+              FROM h CROSS JOIN range(64) t(j)
+              GROUP BY doc_id, j
+            ), sims AS (
+              SELECT doc_id, SUM(bitval) AS s FROM votes GROUP BY doc_id
+            ), sig AS (
+              SELECT d.doc_id AS doc_id,
+                     CAST(COALESCE(s, 0) % 9223372036854775808 AS BIGINT)
+                         AS simhash
+              FROM documents d LEFT JOIN sims USING (doc_id)
+            ), bands AS (
+              SELECT doc_id, simhash, j AS band_id,
+                     (simhash >> (j * 16)::INT) & 65535 AS band_val
+              FROM sig CROSS JOIN range(4) t(j)
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.simhash AS sa, b.simhash AS sb
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id
+            ), pairs AS (
+              SELECT doc_a, doc_b FROM cand
+              WHERE bit_count(xor(sa, sb)) <= 8
+            ), edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs
+              UNION SELECT doc_a, doc_a FROM pairs
+              UNION SELECT doc_b, doc_b FROM pairs
+            ), reach(node, lab) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.node, e.b FROM reach r JOIN edges e
+                ON r.lab = e.a
+            )
+            SELECT node AS doc_id, MIN(lab) AS component
+            FROM reach GROUP BY node
         """,
         "doc_fingerprint": r"""
             WITH d AS (

@@ -172,10 +172,13 @@ def link(document, ctx=None, options: Optional[dict] = None):
     (cf. reference jsonld.js:513-522)."""
     from .core.frame import frame_document
     options = _opts(options)
-    options["embed"] = "@link"
+    # mirror jsonld.js:513-522 exactly: the @embed flag rides IN the
+    # wildcard frame (not options.embed), and the ctx check is JS
+    # truthiness (`if(ctx)`) — note {} is TRUTHY in JS
     frame_doc: dict = {}
-    if ctx is not None:
+    if ctx or isinstance(ctx, (dict, list)):
         frame_doc["@context"] = ctx
+    frame_doc["@embed"] = "@link"
     return frame_document(document, frame_doc, options)
 
 

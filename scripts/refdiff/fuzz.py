@@ -501,6 +501,40 @@ def gen_remote_case(seed: int) -> tuple[dict, dict]:
     return doc, snapshot
 
 
+def decycle(v, path: set):
+    """Mirror of refrun.js decycle: replace any value that is its own
+    ancestor (a @link cycle) with a marker carrying its raw '@id'
+    (True when absent). The cut condition is structural (ancestor
+    revisit), so both engines cut at the same places given parity;
+    shared non-ancestor references serialize fully at each site."""
+    if isinstance(v, list):
+        if id(v) in path:
+            return {"__cycle__": True}
+        path.add(id(v))
+        out = [decycle(x, path) for x in v]
+        path.discard(id(v))
+        return out
+    if isinstance(v, dict):
+        if id(v) in path:
+            return {"__cycle__": v.get("@id", True)}
+        path.add(id(v))
+        out = {k: decycle(x, path) for k, x in v.items()}
+        path.discard(id(v))
+        return out
+    return v
+
+
+def link_ctx(seed: int, docs, xctx):
+    """link leg per-seed context mix: none / own / foreign."""
+    rng = random.Random(seed * 53 + 7)
+    r = rng.random()
+    if r < 0.4:
+        return None
+    if r < 0.7:
+        return docs[seed]["@context"]
+    return xctx[seed]
+
+
 def run_mine(op: str, doc, options: dict):
     try:
         if op == "expand":
@@ -530,6 +564,10 @@ def run_mine(op: str, doc, options: dict):
                     if not k.startswith("_")}
             return {"result": api.from_rdf(
                 parse_nquads(options["_nquads"]), opts)}
+        if op == "link":
+            return {"result": decycle(
+                api.link(doc, options.get("_ctx"), dict(options)),
+                set())}
         raise ValueError(op)
     except JsonLdError as e:
         return {"errorCode": e.code}
@@ -609,7 +647,7 @@ def main():
         return
     ops = ["expand", "flatten", "toRDF", "compact", "frame", "fromRDF",
            "compactX", "flattenC", "frameX", "merge", "corrupt",
-           "frameC"]
+           "frameC", "link"]
     base = "https://fuzz.example/doc.jsonld"
     seeds = list(range(start, start + n))
     docs = {s: gen_doc(s) for s in seeds}
@@ -676,6 +714,14 @@ def main():
                              "frame": corrupt_frame(
                                  s, gen_frame(s, docs[s])),
                              "options": op_opts})
+            elif op == "link":
+                # in-memory node linking (cycle-cut on both sides)
+                req = {"op": "link", "input": docs[s],
+                       "options": op_opts}
+                lctx = link_ctx(s, docs, xctx)
+                if lctx is not None:
+                    req["context"] = lctx
+                reqs.append(req)
             elif op == "frame":
                 reqs.append({"op": op, "input": docs[s],
                              "frame": gen_frame(s, docs[s]),
@@ -715,6 +761,8 @@ def main():
                 opts["_corrupt"] = True
             elif op == "frameC":
                 opts["_frame"] = corrupt_frame(s, gen_frame(s, docs[s]))
+            elif op == "link":
+                opts["_ctx"] = link_ctx(s, docs, xctx)
             elif op == "frame":
                 opts["_frame"] = gen_frame(s, docs[s])
             elif op == "fromRDF":

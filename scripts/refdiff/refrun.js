@@ -26,6 +26,32 @@ function freshJsonld() {
   return jsonld;
 }
 
+// Replace any value that is its own ancestor (a @link cycle) with a
+// marker carrying the node's raw '@id' (true when absent). Shared
+// non-ancestor references serialize fully at each site — identical on
+// both engines given parity — so only genuine cycles are cut, and the
+// cut condition is structural (order-independent).
+function decycle(v, path) {
+  if (Array.isArray(v)) {
+    if (path.has(v)) return {'__cycle__': true};
+    path.add(v);
+    const out = v.map(x => decycle(x, path));
+    path.delete(v);
+    return out;
+  }
+  if (v && typeof v === 'object') {
+    if (path.has(v)) {
+      return {'__cycle__': v['@id'] === undefined ? true : v['@id']};
+    }
+    path.add(v);
+    const out = {};
+    for (const k of Object.keys(v)) out[k] = decycle(v[k], path);
+    path.delete(v);
+    return out;
+  }
+  return v;
+}
+
 async function run(req) {
   const options = Object.assign({}, req.options || {});
   const snapshot = req.contexts || {};
@@ -63,6 +89,14 @@ async function run(req) {
         result = await jsonld.merge(
           req.input, req.context !== undefined ? req.context : null,
           options);
+        break;
+      case 'link':
+        // jsonld.js:513-522: frame with a wildcard frame + @embed:@link.
+        // Output holds SHARED/CYCLIC in-memory structures; cut cycles
+        // (ancestor-revisit) with a structural marker before stringify.
+        result = decycle(await jsonld.link(
+          req.input, req.context !== undefined ? req.context : null,
+          options), new Set());
         break;
       default: throw new Error('unknown op ' + req.op);
     }

@@ -86,6 +86,39 @@ def test_connected_components_long_chain():
     assert len(out) == 5
 
 
+def test_simhash_components_matches_union_find(ray_session):
+    # the driver query composes simhash_near_dup(md5) -> connected
+    # components; re-derive the expected labels with an independent
+    # union-find over the SAME pair set (itself oracled vs a scalar
+    # reference / DuckDB) and demand exact equality
+    import __ray_entry__ as entry
+    from jsonld_js_ray.functions.dedup_text import simhash_near_dup
+
+    sf = "/root/testdata/sf0.001"
+    docs = rd.read_parquet(f"{sf}/documents.parquet")
+    pairs = simhash_near_dup(docs, max_hamming=8,
+                             hash_mode="md5").to_pandas()
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {n: find(n) for n in parent}
+
+    out = entry.queries()["doc_simhash_components"](sf).to_pandas()
+    got = dict(zip(out["doc_id"].astype(int),
+                   out["component"].astype(int)))
+    assert got == expect
+
+
 def test_simhash_close_docs_close_hashes():
     _, ds = _docs_ds()
     out = simhash_signatures(ds).to_pandas()
