@@ -526,8 +526,12 @@ def _expand_object(active_ctx, active_property, element, result, nests,
 
         if expanded_property == "@set":
             ev = expand(active_ctx, active_property, value, options)
-            result["@set"] = ev if isinstance(ev, list) else (
-                [ev] if ev is not None else [])
+            if ev is None:
+                # a null expansion drops the KEY only (expand.js:936-
+                # 942): {"@set": null} leaves an empty {} node object
+                # that survives expansion (fuzz seed 152)
+                continue
+            result["@set"] = ev if isinstance(ev, list) else [ev]
             continue
 
         if frame_expansion and expanded_property in _FRAME_KEYWORDS:
@@ -653,8 +657,10 @@ def _expand_type(type_scoped_ctx, value, result, options, frame_expansion):
         if isinstance(v, str):
             expanded = expand_iri(type_scoped_ctx, v, base_mode=True,
                                   vocab_mode=True, options=options)
-            if (expanded is not None and not is_absolute_iri(expanded)
-                    and not expanded.startswith("_:")):
+            # exactly expand.js:639: '@json' is exempt, blank nodes
+            # count as absolute via the reference's isAbsolute regex,
+            # and a null expansion DOES emit the event
+            if expanded != "@json" and not is_absolute_iri(expanded):
                 emit_event(options, "relative @type reference",
                            f"Relative @type reference: {expanded!r}")
             return expanded

@@ -13,7 +13,7 @@ from __future__ import annotations
 import copy
 from typing import Any
 
-from .compact import compact_document
+from .compact import _js_property_key, compact_document
 from .context import expand_iri, initial_context, process_context
 from .errors import JsonLdError
 from .expand import expand_document
@@ -98,10 +98,13 @@ def frame_document(document, frame_doc, options: dict):
     _unwrap_type_preserve(results)
     compacted = compact_document(results, frame_ctx, compact_opts,
                                  from_flatten=True)
-    # cleanup @preserve / null
-    compacted = _cleanup_preserve(compacted)
-    compacted = _cleanup_null(compacted)
 
+    # graph wrap/unwrap runs BEFORE the cleanup passes — in the
+    # reference it happens INSIDE jsonld.compact (jsonld.js:190-245)
+    # with _cleanupNull after (jsonld.js:492). The order is observable
+    # through @embed:@link identity: the ctx-rewrap shallow-copies the
+    # root, and cleanupNull then forks the shared property ARRAYS
+    # between the copy and the original (link fuzz seed 1104)
     if isinstance(compacted, dict) and "@graph" in compacted \
             and options["omitGraph"]:
         graph_val = compacted["@graph"]
@@ -111,11 +114,18 @@ def frame_document(document, frame_doc, options: dict):
                          if k != "@graph"}
         elif isinstance(graph_val, list) and len(graph_val) == 1 \
                 and isinstance(graph_val[0], dict):
-            merged_out = dict(graph_val[0])
             if "@context" in compacted:
-                merged_out = {"@context": compacted["@context"],
-                              **merged_out}
-            compacted = merged_out
+                # the reference shallow-copies keys into a fresh
+                # {'@context': ...} object here (jsonld.js:239-245) —
+                # which BREAKS @link identity between the root and any
+                # inner reference to it; mirror that exactly
+                compacted = {"@context": compacted["@context"],
+                             **graph_val[0]}
+            else:
+                # no context: the reference returns the single graph
+                # node ITSELF (jsonld.js:190-195 collapse, no copy), so
+                # a @link cycle back to the root stays `is`-identical
+                compacted = graph_val[0]
     elif isinstance(compacted, dict) and "@graph" not in compacted \
             and not options["omitGraph"]:
         ctxv = compacted.pop("@context", None)
@@ -127,6 +137,10 @@ def frame_document(document, frame_doc, options: dict):
         if ctxv is not None:
             body = {"@context": ctxv, **body}
         compacted = body
+
+    # cleanup @preserve / null (reference jsonld.js:491-492)
+    compacted = _cleanup_preserve(compacted)
+    compacted = _cleanup_null(compacted)
     return compacted
 
 
@@ -748,27 +762,38 @@ def _js_truthy(v) -> bool:
     return True
 
 
-def _cleanup_null(element, _memo: dict | None = None):
-    if _memo is None:
-        _memo = {}
+def _cleanup_null(element, _link: dict | None = None):
+    """Mirror of the reference's cleanupNull (frame.js:333-366)
+    INCLUDING its identity behavior, which is observable through
+    @embed:@link shared structures: objects are mutated IN PLACE and
+    returned (so inner references to a node stay `is`-identical to
+    it), arrays are rebuilt fresh at each reference site (so a shared
+    array forks into per-site copies), and the circular-visitation
+    guard is the @id-keyed link list — a revisited @id-bearing object
+    returns as-is without reprocessing (link fuzz seed 1104)."""
+    if _link is None:
+        _link = {}
     if isinstance(element, list):
-        out = [_cleanup_null(e, _memo) for e in element]
+        out = [_cleanup_null(e, _link) for e in element]
         # the reference's array compaction is `filter(v => v)` — JS
         # TRUTHINESS, so "", 0, false, NaN fall out of framed arrays
         # alongside null (frame.js:336-337; fuzz seed 44)
         return [e for e in out if _js_truthy(e)]
     if isinstance(element, dict):
-        if id(element) in _memo:
-            return _memo[id(element)]
         if "@preserve" in element:
             v = element["@preserve"]
             if v == "@null" or v == ["@null"]:
                 return None
             return _cleanup_null(v if not isinstance(v, list) or
-                                 len(v) != 1 else v[0], _memo)
-        out_d: dict[str, Any] = {}
-        _memo[id(element)] = out_d
-        for k, v in element.items():
-            out_d[k] = _cleanup_null(v, _memo)
-        return out_d
+                                 len(v) != 1 else v[0], _link)
+        if "@id" in element:
+            key = _js_property_key(element["@id"])
+            seen = _link.setdefault(key, [])
+            for o in seen:
+                if o is element:
+                    return element
+            seen.append(element)
+        for k in list(element.keys()):
+            element[k] = _cleanup_null(element[k], _link)
+        return element
     return element

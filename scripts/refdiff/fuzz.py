@@ -94,22 +94,54 @@ def gen_context(rng: random.Random) -> dict:
     return ctx
 
 
+# round-5 seventh-wave grammar: RELATIVE IRI references (resolve
+# against options.base / context @base per RFC 3986 through expand),
+# including rootless paths, dot segments, fragments, queries,
+# network-path references and the empty string (= the base itself)
+REL_IRIS = ["rel/path", "../up", "./same", "#frag", "?q=1", "",
+            "//net.example/x", "b:weird", "rel/../dot#f"]
+
+
 def gen_value(rng: random.Random, depth: int):
     r = rng.random()
     if r < 0.25:
         return rng.choice(["s1", "s2", "ünïcode", ""])
     if r < 0.35:
-        return rng.choice([0, 1, -5, 3.25, 1e21, True, False])
+        # ints stay within JS's exact range (<= 2^53 - 1): beyond it
+        # JSON round-trip precision is host-language-defined, not a
+        # kernel parity question (JS doubles vs Python bigints)
+        return rng.choice([0, 1, -5, 3.25, 1e21, True, False,
+                           1.0, -0.0, 2 ** 53 - 1, 5.5e-7])
     if r < 0.45:
         vo = {"@value": rng.choice(["v", 7, True])}
         if rng.random() < 0.5 and isinstance(vo["@value"], str):
             vo["@language"] = rng.choice(LANGS)
+            if rng.random() < 0.3:
+                vo["@direction"] = rng.choice(["ltr", "rtl"])
         elif rng.random() < 0.3:
             vo["@type"] = EX + "DT"
+        elif rng.random() < 0.2 and isinstance(vo["@value"], str):
+            vo["@direction"] = rng.choice(["ltr", "rtl"])
         return vo
     if r < 0.55:
         return {"@id": rng.choice(["urn:x", "urn:y", EX + "node",
                                    "_:b" + str(rng.randint(0, 2))])}
+    if r < 0.58:
+        return {"@id": rng.choice(REL_IRIS)}
+    if r < 0.62:
+        # explicit list/set objects in data (not container-made)
+        kw = "@list" if rng.random() < 0.7 else "@set"
+        inner = [gen_value(rng, 0) for _ in range(rng.randint(0, 2))]
+        out = {kw: inner if rng.random() < 0.8 else
+               (inner[0] if inner else None)}
+        if kw == "@list" and rng.random() < 0.25 and depth > 0:
+            out["@list"] = [{"@list": [gen_value(rng, 0)]}]  # nested list
+        return out
+    if r < 0.65:
+        # explicit @json literal (raw JSON payload survives verbatim)
+        return {"@value": rng.choice(
+            [{"k": [1, "s", None]}, [True, {"x": 0.5}], None, 42]),
+            "@type": "@json"}
     if depth <= 0:
         return "leaf"
     return gen_node(rng, depth - 1)
@@ -121,10 +153,13 @@ def gen_node(rng: random.Random, depth: int) -> dict:
         node["@id"] = rng.choice(
             ["urn:n" + str(rng.randint(0, 5)),
              EX + "n" + str(rng.randint(0, 5)),
-             "_:b" + str(rng.randint(0, 3))])
+             "_:b" + str(rng.randint(0, 3))]) \
+            if rng.random() < 0.9 else rng.choice(REL_IRIS)
     if rng.random() < 0.4:
         node["@type"] = rng.sample(TYPES, rng.randint(1, 2)) \
             if rng.random() < 0.3 else rng.choice(TYPES)
+        if rng.random() < 0.1:
+            node["@type"] = rng.choice(REL_IRIS[:6])  # vocab-relative
     for term in rng.sample(TERMS, rng.randint(1, 3)):
         r = rng.random()
         if r < 0.15 and depth > 0:

@@ -83,6 +83,31 @@ def test_link_embeds_references():
     assert a["knows"].get("name") == "B"
 
 
+def test_link_cycle_identity_no_context():
+    # with NO context the reference returns the single graph node
+    # ITSELF after the omitGraph collapse (jsonld.js:190-195), so a
+    # self-reference is `is`-identical to the root (link fuzz 1287)
+    doc = {"@context": {"@vocab": V},
+           "@id": "urn:n0", "gamma": True, "zeta": {"@id": "urn:n0"}}
+    out = api.link(doc, None)
+    assert out[V + "zeta"] is out
+
+
+def test_link_cycle_identity_with_context():
+    # WITH a context the reference shallow-copies the root during the
+    # @context rewrap (jsonld.js:239-245) and cleanupNull then forks
+    # the shared property arrays: the inner node is cyclic, the root
+    # is a distinct object whose property points at the inner node
+    # (link fuzz seed 1104)
+    ctx = {"@vocab": V}
+    doc = {"@context": ctx,
+           "@id": "urn:n0", "gamma": True, "zeta": {"@id": "urn:n0"}}
+    out = api.link(doc, ctx)
+    inner = out["zeta"]
+    assert inner is not out
+    assert inner["zeta"] is inner
+
+
 @pytest.mark.usefixtures("ray_session")
 class TestTransformStages:
     def _doc_batch(self, docs):
