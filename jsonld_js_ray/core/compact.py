@@ -785,6 +785,20 @@ def compact(active_ctx: ActiveContext, active_property: Optional[str],
                     or "@id" in container or "@type" in container) \
                     and "@graph" not in container:
                 map_object = nest_result.setdefault(nest_prop, {})
+                if compacted_item is None and "@language" not in container:
+                    # a null compacted value (a @json literal with a
+                    # null payload compacted by a matching @json-typed
+                    # term) CRASHES the reference in every map-packing
+                    # branch except @language: `delete null[key]` /
+                    # property reads on null (compact.js:563,566,587,
+                    # 595: 'Cannot convert undefined or null to
+                    # object') — mirror as a typed error (fuzz seed
+                    # 5382, ops compact/frame/flattenC)
+                    raise JsonLdError(
+                        "Cannot convert undefined or null to object "
+                        "(reference TypeError: null compacted value "
+                        "reached index/id/type-map packing)",
+                        "TypeError parity")
                 if "@language" in container:
                     key = expanded_item.get("@language") if \
                         is_value(expanded_item) else None
@@ -847,16 +861,18 @@ def compact(active_ctx: ActiveContext, active_property: Optional[str],
                         elif isinstance(types, str):
                             key = types
                             compacted_item.pop(type_alias, None)
+                        # the reference checks ONLY single-entry +
+                        # @id-in-expandedItem (compact.js:610-620) —
+                        # its comment says "whose key maps to @id" but
+                        # the code never inspects the key, so a LIST
+                        # object carrying an id-map-injected @id
+                        # collapses to its subject reference too
+                        # (compactX fuzz seed 9227)
                         if (len(compacted_item) == 1
                                 and "@id" in expanded_item):
-                            only = next(iter(compacted_item))
-                            ek = expand_iri(active_ctx, only,
-                                            vocab_mode=True,
-                                            options=options)
-                            if ek == "@id":
-                                compacted_item = compact(
-                                    active_ctx, item_active_property,
-                                    {"@id": expanded_item["@id"]}, options)
+                            compacted_item = compact(
+                                active_ctx, item_active_property,
+                                {"@id": expanded_item["@id"]}, options)
                 if key is None:
                     key = compact_iri(active_ctx, "@none",
                                       relative_to_vocab=True)

@@ -251,8 +251,11 @@ def _post_process(active_ctx, active_property, element, result, options,
         result["@type"] = [result["@type"]]
         return_val = result
     elif "@set" in result or "@list" in result:
-        extra = keys - {"@set", "@list", "@index"}
-        if extra:
+        # reference rule is a pure COUNT check (expand.js:337-345):
+        # at most one other property, and it must be @index — so
+        # {"@set": ..., "@list": ...} is invalid even though both keys
+        # are set/list keys (corrupt fuzz seeds 1949/2627/6099)
+        if len(keys) > 1 and not (len(keys) == 2 and "@index" in keys):
             raise JsonLdError(
                 "set/list object has disallowed entries.",
                 "invalid set or list object")
@@ -730,10 +733,6 @@ def _expand_language_map(active_ctx, key, value, term_def, options):
                               options=options)
         if exp_lang == "@none":
             exp_lang = None
-        elif isinstance(lang, str) and not BCP47_RE.match(lang):
-            emit_event(options, "invalid @language value",
-                       f"Language map key {lang!r} is not well-formed "
-                       "BCP47.")
         for item in items:
             if item is None:
                 continue
@@ -743,6 +742,15 @@ def _expand_language_map(active_ctx, key, value, term_def, options):
                     "invalid language map value")
             v = {"@value": item}
             if exp_lang is not None:
+                # the BCP47 event fires PER ITEM, inside the loop
+                # (expand.js:1163-1180) — a key whose value array is
+                # EMPTY emits nothing (link fuzz seed 4859: {"@list":
+                # []} under a @language container is silently empty
+                # even in safe mode)
+                if isinstance(lang, str) and not BCP47_RE.match(lang):
+                    emit_event(options, "invalid @language value",
+                               f"Language map key {lang!r} is not "
+                               "well-formed BCP47.")
                 v["@language"] = lang.lower()
             if direction is not None:
                 v["@direction"] = direction

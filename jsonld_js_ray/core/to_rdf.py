@@ -227,4 +227,18 @@ def _object_to_rdf(item, options, issuer=None, quads=None, graph_term=None):
     if language is not None:
         return (OBJ_LITERAL, str(value), datatype or RDF_LANGSTRING,
                 language)
-    return (OBJ_LITERAL, str(value), datatype or XSD_STRING, None)
+    if not isinstance(value, str):
+        # Only a null / object / array @value can reach the final
+        # string branch (numbers and booleans are caught above; an
+        # @json payload only lands here when a @type-container map key
+        # turned the value object's @type into an ARRAY, defeating the
+        # `datatype === '@json'` check). The reference passes the raw
+        # JS value through (toRdf.js:343-345) and CRASHES serializing
+        # the quad (NQuads.js escape: `s.replace is not a function` /
+        # `Cannot read properties of null`) — mirror as a typed error
+        # (fuzz seeds 2964/4656/5024/6683).
+        raise JsonLdError(
+            "s.replace is not a function (reference TypeError: "
+            "non-string literal value reached N-Quads serialization)",
+            "TypeError parity")
+    return (OBJ_LITERAL, value, datatype or XSD_STRING, None)
