@@ -192,12 +192,17 @@ def _doc_fingerprint(sf_dir: str):
 
 
 def _doc_minhash_near_dup(sf_dir: str):
+    # md5 hash mode: every stage (md5 token hashes -> md5-derived
+    # permutations with the uint64-wrap formula -> md5 band keys ->
+    # capped bucket pairing -> raw-IEEE Jaccard verify) is reproducible
+    # in DuckDB SQL, giving the full pipeline a value-level oracle; the
+    # bench headline keeps the faster shingle/blake2b path (bench.py)
     from jsonld_js_ray.functions.dedup_text import (
         jaccard_verify, minhash_candidate_pairs)
     docs = _docs(sf_dir)
     pairs = minhash_candidate_pairs(docs, pair_mode="all",
-                                    global_dedup=False)
-    return jaccard_verify(docs, pairs, threshold=0.5)
+                                    global_dedup=False, hash_mode="md5")
+    return jaccard_verify(docs, pairs, threshold=0.5, hash_mode="md5")
 
 
 def _doc_simhash(sf_dir: str):
@@ -219,9 +224,13 @@ def _doc_simhash_near_dup(sf_dir: str):
 
 
 def _doc_near_dup_components(sf_dir: str):
+    # md5 hash mode (see _doc_minhash_near_dup): star-edge LSH buckets
+    # + min-label components are deterministic, so the composition gets
+    # a DuckDB recursive-CTE value oracle
     from jsonld_js_ray.functions.dedup_text import (
         connected_components, minhash_candidate_pairs)
-    pairs = minhash_candidate_pairs(_docs(sf_dir), global_dedup=False)
+    pairs = minhash_candidate_pairs(_docs(sf_dir), global_dedup=False,
+                                    hash_mode="md5")
     return connected_components(pairs)
 
 
@@ -823,6 +832,138 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, MIN(lab) AS component
             FROM reach GROUP BY node
+        """,
+        # md5-mode MinHash+LSH near-dup: md5_number_lower token hashes,
+        # md5-derived permutation params (pre-reduced mod p = 2^61-1 so
+        # a*x+b fits HUGEINT), explicit % 2^64 mirroring numpy's uint64
+        # wrap, md5 band keys over the comma-joined signature chunk,
+        # capped bucket pairing (<=64 all-pairs, >64 star), raw-IEEE
+        # Jaccard over the md5 item sets
+        "doc_minhash_near_dup": r"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9_]+')) AS tok
+                FROM documents)
+            ), h AS (
+              SELECT DISTINCT doc_id, md5_number_lower(tok) AS h64
+              FROM toks
+            ), perms AS (
+              SELECT j,
+                     md5_number_lower('minhash-a-' || j)
+                         % 2305843009213693951 AS a,
+                     md5_number_lower('minhash-b-' || j)
+                         % 2305843009213693951 AS b
+              FROM range(64) t(j)
+            ), mins AS (
+              SELECT doc_id, j,
+                     MIN(CAST(((a::HUGEINT
+                                * (h64 % 2305843009213693951) + b)
+                               % 18446744073709551616)
+                              % 2305843009213693951 AS UBIGINT)) AS v
+              FROM h CROSS JOIN perms
+              GROUP BY doc_id, j
+            ), bands AS (
+              SELECT doc_id, (j // 4)::INT AS band_id,
+                     CAST(md5_number_lower(
+                              string_agg(v::VARCHAR, ',' ORDER BY j))
+                          % 4611686018427387904 AS BIGINT) AS band_hash
+              FROM mins GROUP BY doc_id, (j // 4)
+            ), sized AS (
+              SELECT doc_id, band_id, band_hash,
+                     COUNT(*) OVER (PARTITION BY band_id, band_hash)
+                         AS n,
+                     MIN(doc_id) OVER (PARTITION BY band_id, band_hash)
+                         AS mn
+              FROM bands
+            ), cand AS (
+              SELECT DISTINCT a, b FROM (
+                SELECT x.doc_id AS a, y.doc_id AS b
+                FROM sized x JOIN sized y
+                  ON x.band_id = y.band_id
+                 AND x.band_hash = y.band_hash
+                 AND x.doc_id < y.doc_id
+                WHERE x.n <= 64
+                UNION ALL
+                SELECT mn AS a, doc_id AS b FROM sized
+                WHERE n > 64 AND doc_id <> mn)
+            ), sizes AS (
+              SELECT doc_id, COUNT(*) AS sz FROM h GROUP BY doc_id
+            ), inter AS (
+              SELECT c.a, c.b, COUNT(*) AS ci
+              FROM cand c
+              JOIN h x ON x.doc_id = c.a
+              JOIN h y ON y.doc_id = c.b AND y.h64 = x.h64
+              GROUP BY c.a, c.b
+            ), scored AS (
+              SELECT c.a AS a, c.b AS b,
+                     CAST(COALESCE(i.ci, 0) AS DOUBLE)
+                         / (sa.sz + sb.sz - COALESCE(i.ci, 0))
+                         AS jaccard
+              FROM cand c
+              LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+              JOIN sizes sa ON sa.doc_id = c.a
+              JOIN sizes sb ON sb.doc_id = c.b
+            )
+            SELECT a, b, jaccard FROM scored WHERE jaccard >= 0.5
+        """,
+        # md5-mode MinHash star-edge buckets -> min-label connected
+        # components (recursive-CTE transitive closure, MIN over
+        # reachable labels; self-edges keep isolated pair endpoints)
+        "doc_near_dup_components": r"""
+            WITH RECURSIVE toks AS (
+              SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9_]+')) AS tok
+                FROM documents)
+            ), h AS (
+              SELECT DISTINCT doc_id, md5_number_lower(tok) AS h64
+              FROM toks
+            ), perms AS (
+              SELECT j,
+                     md5_number_lower('minhash-a-' || j)
+                         % 2305843009213693951 AS a,
+                     md5_number_lower('minhash-b-' || j)
+                         % 2305843009213693951 AS b
+              FROM range(64) t(j)
+            ), mins AS (
+              SELECT doc_id, j,
+                     MIN(CAST(((a::HUGEINT
+                                * (h64 % 2305843009213693951) + b)
+                               % 18446744073709551616)
+                              % 2305843009213693951 AS UBIGINT)) AS v
+              FROM h CROSS JOIN perms
+              GROUP BY doc_id, j
+            ), bands AS (
+              SELECT doc_id, (j // 4)::INT AS band_id,
+                     CAST(md5_number_lower(
+                              string_agg(v::VARCHAR, ',' ORDER BY j))
+                          % 4611686018427387904 AS BIGINT) AS band_hash
+              FROM mins GROUP BY doc_id, (j // 4)
+            ), sized AS (
+              SELECT doc_id, band_id, band_hash,
+                     COUNT(*) OVER (PARTITION BY band_id, band_hash)
+                         AS n,
+                     MIN(doc_id) OVER (PARTITION BY band_id, band_hash)
+                         AS mn
+              FROM bands
+            ), pairs AS (
+              SELECT DISTINCT mn AS a, doc_id AS b FROM sized
+              WHERE n > 1 AND doc_id <> mn
+            ), edges AS (
+              SELECT a, b FROM pairs
+              UNION SELECT b, a FROM pairs
+              UNION SELECT a, a FROM pairs
+              UNION SELECT b, b FROM pairs
+            ), reach(node, lab) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.node, e.b FROM reach r JOIN edges e
+                ON r.lab = e.a
+            )
+            SELECT node AS a, MIN(lab) AS label FROM reach GROUP BY node
         """,
         "doc_fingerprint": r"""
             WITH d AS (

@@ -66,7 +66,21 @@ def _bench_once() -> dict:
     _warm(corpus)
 
     extras: dict = {}
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+
+    def _fast_minhash(sd: str):
+        # the queries() registry runs doc_minhash_near_dup in md5 hash
+        # mode (DuckDB value oracle); the bench headline keeps the
+        # shingle/blake2b fast path so the number stays comparable
+        # across rounds — same operator, throughput hash mode
+        from jsonld_js_ray.functions.dedup_text import (
+            jaccard_verify, minhash_candidate_pairs)
+        docs = entrymod._docs(sd)
+        pairs = minhash_candidate_pairs(docs, pair_mode="all",
+                                        global_dedup=False)
+        return jaccard_verify(docs, pairs, threshold=0.5)
+
+    qs["doc_minhash_near_dup"] = _fast_minhash
     bench_queries = ["kg_canonical_nquads", "doc_minhash_near_dup",
                      "ann_brute_force_topk", "q1_pricing_summary",
                      "events_sessions", "doc_exact_dedup",

@@ -11,6 +11,7 @@ stay a Dataset (two hash shuffles per round, scalar convergence check)
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pandas as pd
@@ -19,6 +20,7 @@ import pyarrow as pa
 from ..util_ray import default_concurrency, pool_share
 
 _MERSENNE = (1 << 61) - 1
+_WORD_RE = re.compile(r"\w+")
 _POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)],
                       dtype=np.uint8)
 
@@ -52,30 +54,83 @@ def _shingles(text: str, k: int = 5) -> np.ndarray:
     return np.unique(out)
 
 
+def _md5_u64(s: str) -> int:
+    """DuckDB ``md5_number_lower``: last 8 md5 digest bytes, LE."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[8:],
+                          "little")
+
+
+def _md5_token_hashes(text: str) -> np.ndarray:
+    """Sorted-unique md5 u64 hashes of the doc's distinct ``\\w+``
+    word tokens (lowered) — the md5-mode MinHash item set. Matches
+    DuckDB ``SELECT DISTINCT md5_number_lower(tok)`` over
+    ``regexp_extract_all(lower(text), '[a-z0-9_]+')``."""
+    toks = set(_WORD_RE.findall(text.lower()))
+    if not toks:
+        return np.array([], dtype=np.uint64)
+    return np.unique(np.fromiter((_md5_u64(t) for t in toks),
+                                 dtype=np.uint64, count=len(toks)))
+
+
 class MinHasher:
     """Actor-pool stage: doc → minhash signature + LSH band hashes.
 
     Permutation parameters generated once per actor in __init__
-    (num_perm × (a, b) over a Mersenne prime)."""
+    (num_perm × (a, b) over a Mersenne prime).
+
+    hash_mode="fast" (default): char-5-shingle rolling hash items,
+    rng-drawn permutation params, blake2b band keys — the headline
+    throughput path. hash_mode="md5": distinct word-token items hashed
+    with md5_number_lower, permutation params md5-derived from their
+    index, band key = md5_number_lower of the comma-joined signature
+    chunk — every stage reproducible in DuckDB SQL (value oracle)."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, k: int = 5,
-                 seed: int = 7):
-        rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, size=num_perm,
-                              dtype=np.uint64)
-        self.b = rng.integers(0, _MERSENNE, size=num_perm,
-                              dtype=np.uint64)
+                 seed: int = 7, hash_mode: str = "fast"):
+        self.hash_mode = hash_mode
+        if hash_mode == "md5":
+            # params and item hashes are pre-reduced mod p so the SQL
+            # mirror's a*x+b stays under 2^122 (DuckDB HUGEINT is 127
+            # bits); numpy's uint64 product still wraps mod 2^64 and
+            # SQL reproduces that wrap with an explicit % 2^64
+            self.a = np.fromiter(
+                (_md5_u64(f"minhash-a-{j}") % _MERSENNE
+                 for j in range(num_perm)),
+                dtype=np.uint64, count=num_perm)
+            self.b = np.fromiter(
+                (_md5_u64(f"minhash-b-{j}") % _MERSENNE
+                 for j in range(num_perm)),
+                dtype=np.uint64, count=num_perm)
+        else:
+            rng = np.random.default_rng(seed)
+            self.a = rng.integers(1, _MERSENNE, size=num_perm,
+                                  dtype=np.uint64)
+            self.b = rng.integers(0, _MERSENNE, size=num_perm,
+                                  dtype=np.uint64)
         self.num_perm = num_perm
         self.bands = bands
         self.rows_per_band = num_perm // bands
         self.k = k
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingles(text, self.k).astype(np.uint64)
-        # (a*x + b) mod p, min over shingles, per permutation
+        if self.hash_mode == "md5":
+            sh = _md5_token_hashes(text) % np.uint64(_MERSENNE)
+        else:
+            sh = _shingles(text, self.k).astype(np.uint64)
+        if not len(sh):
+            return sh
+        # (a*x + b) wraps mod 2^64 (numpy uint64), then mod p, min over
+        # items per permutation — in SQL: ((a::HUGEINT*x+b) % 2^64) % p
         prod = (sh[None, :] * self.a[:, None] + self.b[:, None]) \
             % np.uint64(_MERSENNE)
         return prod.min(axis=1)
+
+    def _band_hash(self, chunk: np.ndarray) -> int:
+        if self.hash_mode == "md5":
+            key = ",".join(str(int(x)) for x in chunk)
+            return _md5_u64(key) % (1 << 62)
+        h = hashlib.blake2b(chunk.tobytes(), digest_size=8)
+        return int.from_bytes(h.digest(), "little") % (1 << 62)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         """Explode each doc into one row per LSH band."""
@@ -83,14 +138,14 @@ class MinHasher:
         doc_ids, band_ids, band_hashes = [], [], []
         for doc_id, text in zip(df["doc_id"], df["text"]):
             sig = self.signature(text)
+            if not len(sig):  # md5 mode: token-less doc, no bands
+                continue
             for b in range(self.bands):
                 chunk = sig[b * self.rows_per_band:
                             (b + 1) * self.rows_per_band]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8)
                 doc_ids.append(doc_id)
                 band_ids.append(b)
-                band_hashes.append(int.from_bytes(h.digest(), "little")
-                                   % (1 << 62))
+                band_hashes.append(self._band_hash(chunk))
         return pa.table({
             "doc_id": pa.array(doc_ids, pa.int64()),
             "band_id": pa.array(band_ids, pa.int32()),
@@ -138,7 +193,8 @@ def _bucket_all_pairs(group: pd.DataFrame, cap: int = 64) -> pd.DataFrame:
 def minhash_candidate_pairs(docs_ds, num_perm=64, bands=16, k=5,
                             pair_mode: str = "min_anchor",
                             bucket_cap: int = 64,
-                            global_dedup: bool = True):
+                            global_dedup: bool = True,
+                            hash_mode: str = "fast"):
     """LSH candidate pairs (a < b), deduplicated.
 
     pair_mode="min_anchor": star edges per bucket (for components).
@@ -147,7 +203,8 @@ def minhash_candidate_pairs(docs_ds, num_perm=64, bands=16, k=5,
     consumers that tolerate duplicate pairs."""
     banded = docs_ds.map_batches(
         MinHasher, fn_constructor_kwargs={
-            "num_perm": num_perm, "bands": bands, "k": k},
+            "num_perm": num_perm, "bands": bands, "k": k,
+            "hash_mode": hash_mode},
         batch_format="pyarrow", concurrency=pool_share(0.5, cap=12),
         num_cpus=1)
     # one Ray group per LSH bucket means one python call per distinct
@@ -223,9 +280,15 @@ def minhash_candidate_pairs(docs_ds, num_perm=64, bands=16, k=5,
     return pairs.drop_columns(["pb"])
 
 
-def jaccard_verify(docs_ds, pairs_ds, threshold: float = 0.8, k: int = 5):
+def jaccard_verify(docs_ds, pairs_ds, threshold: float = 0.8, k: int = 5,
+                   hash_mode: str = "fast"):
     """Verify candidate pairs with exact shingle Jaccard — fully
     distributed, nothing is pulled to the driver.
+
+    hash_mode="md5": the pair's item sets are the md5-hashed distinct
+    word tokens (same sets the md5-mode MinHasher signs) and the
+    jaccard column is the RAW IEEE double inter/union (no rounding) —
+    both bit-reproducible in DuckDB for the SQL value oracle.
 
     Two-shuffle hash join:
       1. explode each pair (a, b) to one row per side keyed on the
@@ -285,9 +348,11 @@ def jaccard_verify(docs_ds, pairs_ds, threshold: float = 0.8, k: int = 5):
                                  "sh": pd.Series(dtype="object")})
         needed = set(pair_rows["doc_id"])
         doc_rows = g[(g["a"] < 0) & g["doc_id"].isin(needed)]
+        mk_items = (_md5_token_hashes if hash_mode == "md5"
+                    else lambda t: _shingles(t, k))
         blobs = pd.DataFrame({
             "doc_id": doc_rows["doc_id"].astype("int64"),
-            "sh": [_shingles(str(t), k).tobytes()
+            "sh": [mk_items(str(t)).tobytes()
                    for t in doc_rows["text"]]})
         m = pair_rows[["doc_id", "a", "b", "side"]].merge(
             blobs, on="doc_id", how="inner")
@@ -344,8 +409,14 @@ def jaccard_verify(docs_ds, pairs_ds, threshold: float = 0.8, k: int = 5):
         dup = (pv[1:] == pv[:-1]) & (vv[1:] == vv[:-1])
         inter = np.bincount(pv[1:][dup], minlength=npairs)
         union = sizes_a + sizes_b - inter
-        j = np.where(union > 0, np.round(inter / np.maximum(union, 1), 6),
-                     1.0)
+        raw = inter / np.maximum(union, 1)
+        if hash_mode != "md5":
+            # headline path keeps the 6-decimal display rounding; md5
+            # mode emits the raw IEEE quotient (np.round is half-even,
+            # DuckDB ROUND is half-away — rounding would break the
+            # oracle at exact .5 boundaries like 1/128)
+            raw = np.round(raw, 6)
+        j = np.where(union > 0, raw, 1.0)
         sel = j >= threshold
         return pd.DataFrame({
             "a": pd.Series(a[lhs][sel], dtype="int64"),

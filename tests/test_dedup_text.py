@@ -460,3 +460,91 @@ def test_simhash_md5_mode_matches_python_reference(ray_session):
         .set_index("doc_id")
     for k, t in texts.items():
         assert int(out.loc[k, "simhash"]) == _ref_simhash_md5(t), k
+
+
+def _ref_minhash_md5_bands(text: str, num_perm=64, bands=16):
+    """Independent scalar re-derivation of the md5-mode MinHash band
+    keys: md5_number_lower token hashes and permutation params reduced
+    mod p = 2^61-1, (a*x+b) wrapped mod 2^64 then mod p, min per perm,
+    band key = md5_number_lower of the comma-joined chunk % 2^62."""
+    import hashlib as _hl
+    import re as _re
+    P = (1 << 61) - 1
+    M64 = 1 << 64
+
+    def md5n(s):
+        return int.from_bytes(_hl.md5(s.encode()).digest()[8:], "little")
+
+    toks = set(_re.findall(r"\w+", text.lower()))
+    if not toks:
+        return None
+    hs = sorted({md5n(t) % P for t in toks})
+    sig = []
+    for j in range(num_perm):
+        a = md5n(f"minhash-a-{j}") % P
+        b = md5n(f"minhash-b-{j}") % P
+        sig.append(min(((a * x + b) % M64) % P for x in hs))
+    rpb = num_perm // bands
+    return [md5n(",".join(str(v) for v in sig[i * rpb:(i + 1) * rpb]))
+            % (1 << 62) for i in range(bands)]
+
+
+def test_minhash_md5_mode_matches_python_reference(ray_session):
+    from jsonld_js_ray.functions.dedup_text import MinHasher
+    import pyarrow as pa
+    texts = {1: "the quick brown Fox jumps", 2: "", 3: "a b c a b",
+             4: "unicode café naïve test tokens here"}
+    mh = MinHasher(hash_mode="md5")
+    out = mh(pa.table({"doc_id": list(texts),
+                       "text": list(texts.values())})).to_pandas()
+    for k, t in texts.items():
+        ref = _ref_minhash_md5_bands(t)
+        rows = out[out["doc_id"] == k].sort_values("band_id")
+        if ref is None:
+            assert rows.empty, k  # token-less doc emits no bands
+            continue
+        assert list(rows["band_hash"]) == ref, k
+
+
+def test_minhash_md5_near_dup_matches_duckdb(ray_session):
+    """The full md5-mode pipeline (signature -> banded LSH -> capped
+    pairing -> raw-IEEE Jaccard verify) against the driver's DuckDB
+    value oracle on an in-memory corpus — exact, including doubles."""
+    import duckdb
+    import ray
+    import __ray_entry__ as entry
+    from jsonld_js_ray.functions.dedup_text import (
+        connected_components, jaccard_verify, minhash_candidate_pairs)
+
+    texts, _ = _docs_ds()
+    texts[7] = texts[1] + " again"   # more near-dups
+    texts[8] = "token soup " * 20
+    texts[9] = "token soup " * 20 + "tail"
+    df = pd.DataFrame({"doc_id": list(texts),
+                       "text": list(texts.values())})
+    ds = ray.data.from_pandas(df)
+
+    pairs = minhash_candidate_pairs(ds, pair_mode="all",
+                                    global_dedup=False, hash_mode="md5")
+    mine = jaccard_verify(ds, pairs, threshold=0.5, hash_mode="md5") \
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("documents", df)
+    sql = entry.oracle_sql()["doc_minhash_near_dup"]
+    oracle = con.sql(sql).df().sort_values(["a", "b"]) \
+        .reset_index(drop=True)
+    assert len(mine) == len(oracle) > 0
+    assert (mine[["a", "b"]].values == oracle[["a", "b"]].values).all()
+    # raw IEEE doubles: bit-exact, no tolerance
+    assert (mine["jaccard"].values == oracle["jaccard"].values).all()
+
+    star = minhash_candidate_pairs(ds, global_dedup=False,
+                                   hash_mode="md5")
+    comps = connected_components(star).to_pandas() \
+        .sort_values("a").reset_index(drop=True)
+    csql = entry.oracle_sql()["doc_near_dup_components"]
+    coracle = con.sql(csql).df().sort_values("a").reset_index(drop=True)
+    assert len(comps) == len(coracle) > 0
+    assert (comps[["a", "label"]].values
+            == coracle[["a", "label"]].values).all()
