@@ -650,17 +650,20 @@ def compact(active_ctx: ActiveContext, active_property: Optional[str],
             result[alias] = expanded_value
             continue
 
-        if expanded_property in ("@value", "@language", "@direction",
-                                 "@explicit", "@embed",
-                                 "@requireAll", "@default", "@omitDefault"):
-            # non-@graph/@list/@included keywords are aliased and added
-            # VERBATIM (compact.js:334-344) — @included instead flows
-            # through the generic item path below, where graph-object
-            # items take the unwrap-then-rewrap shortcut (fuzz seed
-            # 6336: "@included": {"@graph": {"@graph": [node]}})
+        if (is_keyword(expanded_property)
+                and expanded_property not in ("@graph", "@list",
+                                              "@included")):
+            # ALL remaining keywords (@value/@language/@direction, the
+            # frame flags, @none and other generically-expanded
+            # keywords) are aliased and added VERBATIM with addValue
+            # semantics (compact.js:334-346): a 1-item array collapses
+            # to its element, an empty array adds nothing. @included
+            # instead flows through the generic item path below, where
+            # graph-object items take the unwrap-then-rewrap shortcut
+            # (fuzz seed 6336)
             alias = compact_iri(active_ctx, expanded_property,
                                 relative_to_vocab=True)
-            result[alias] = expanded_value
+            add_value_compact(result, alias, expanded_value, False)
             continue
 
         if expanded_property == "@graph":

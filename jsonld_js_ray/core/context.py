@@ -145,12 +145,17 @@ class ActiveContext:
                  "vocab",
                  "default_language", "default_direction", "processing_mode",
                  "previous_context", "_inverse", "_curie_index", "_uuid",
-                 "is_initial")
+                 "is_initial", "protected_terms")
 
     _counter = 0
 
     def __init__(self, base=None, processing_mode="json-ld-1.1"):
         self.mappings: dict[str, dict] = {}
+        # STICKY per-context protection registry (context.js activeCtx
+        # .protected): entries are only ever added, never removed, even
+        # when a term is later redefined unprotected — the null-reset
+        # guard keys off THIS map, not the current mappings
+        self.protected_terms: dict[str, bool] = {}
         self.base = base
         self.original_base = base
         # True once a LOCAL context explicitly carried "@base" — the
@@ -180,6 +185,7 @@ class ActiveContext:
         c.original_base = self.original_base
         c.has_ctx_base = self.has_ctx_base
         c.mappings = dict(self.mappings)
+        c.protected_terms = dict(self.protected_terms)
         c.vocab = self.vocab
         c.default_language = self.default_language
         # the previous context is CLONED too (context.js:1425-1427),
@@ -193,7 +199,7 @@ class ActiveContext:
         return self.mappings.get(term)
 
     def has_protected_terms(self) -> bool:
-        return any(m.get("protected") for m in self.mappings.values())
+        return bool(self.protected_terms)
 
     def fingerprint(self) -> str:
         """Stable key for processed-context caching (cf. reference
@@ -284,9 +290,15 @@ def process_context(active_ctx: ActiveContext, local_ctx, options: dict,
                     "Tried to nullify a context with protected term "
                     "definitions.", "invalid context nullification")
             prev = result if not propagate else None
+            # the reset UNPINS the processing mode: the reference's
+            # getInitialContext here sees context-processing options
+            # without processingMode, so @version 1.1 after a null
+            # reset does NOT conflict even under an explicit
+            # processingMode=json-ld-1.0 (context.js:130,1207-1214;
+            # probed against the reference — fuzz seed 138)
             result = ActiveContext(
                 base=active_ctx.original_base,
-                processing_mode=active_ctx.processing_mode)
+                processing_mode="json-ld-1.1")
             result.original_base = active_ctx.original_base
             if prev is not None:
                 result.previous_context = prev
@@ -358,7 +370,9 @@ def process_context(active_ctx: ActiveContext, local_ctx, options: dict,
                 raise JsonLdError(
                     "Unsupported JSON-LD version: " + str(v),
                     "invalid @version value")
-            if options.get("processingMode") == "json-ld-1.0":
+            # the pin lives on the ACTIVE CONTEXT, not the option
+            # (context.js:177-183) — a null reset clears it
+            if result.processing_mode == "json-ld-1.0":
                 raise JsonLdError(
                     "@version not supported in JSON-LD 1.0 mode",
                     "processing mode conflict")
@@ -596,7 +610,10 @@ def create_term_definition(active_ctx: ActiveContext, local_ctx: dict,
             "Term definition must be null, a string, or an object.",
             "invalid term definition")
 
-    mapping: dict[str, Any] = {"reverse": False, "protected": protected,
+    # protection is decided by the strict-boolean block below
+    # (context.js:751-754); the ctx-level default arrives via the
+    # `protected` param and only counts when it is the literal True
+    mapping: dict[str, Any] = {"reverse": False, "protected": False,
                                "_prefix": False,
                                "_term_has_colon": ":" in term[1:]}
 
@@ -613,11 +630,19 @@ def create_term_definition(active_ctx: ActiveContext, local_ctx: dict,
                 f"A term definition must not contain {_kw}.",
                 "invalid term definition")
 
-    if "@protected" in value:
-        if not _ctx_1_1(active_ctx):
-            raise JsonLdError("@protected requires JSON-LD 1.1.",
-                              "invalid term definition")
-        mapping["protected"] = value["@protected"]
+    if "@protected" in value and not _ctx_1_1(active_ctx):
+        raise JsonLdError("@protected requires JSON-LD 1.1.",
+                          "invalid term definition")
+    # JS strict-equality semantics (context.js:751-754): only the
+    # literal boolean true protects; a truthy non-boolean ("yes", 5)
+    # is silently ignored, and @protected: false opts out of a
+    # context-level @protected: true default (which itself must be
+    # the literal true)
+    if (value.get("@protected") is True
+            or (protected is True
+                and value.get("@protected") is not False)):
+        mapping["protected"] = True
+        active_ctx.protected_terms[term] = True
 
     if "@reverse" in value:
         if "@id" in value:
@@ -856,9 +881,13 @@ def create_term_definition(active_ctx: ActiveContext, local_ctx: dict,
                 f"Invalid term definition entry {k!r} for term {term!r}.",
                 "invalid term definition")
 
-    # protected redefinition check
+    # protected redefinition check — the attempt itself re-marks the
+    # term in the sticky registry and forces the new mapping protected
+    # (context.js:981-991) before the deep compare decides
     if (prev_mapping is not None and prev_mapping.get("protected")
             and not override_protected):
+        active_ctx.protected_terms[term] = True
+        mapping["protected"] = True
         cmp_prev = {k: v for k, v in prev_mapping.items()
                     if k != "protected"}
         cmp_new = {k: v for k, v in mapping.items() if k != "protected"}

@@ -545,9 +545,14 @@ def _expand_object(active_ctx, active_property, element, result, nests,
             result[expanded_property] = ev if isinstance(ev, list) else [ev]
             continue
 
-        if is_keyword(expanded_property):
-            # unhandled keyword (e.g. frame keywords outside frames) — drop
-            continue
+        # an unhandled keyword (@none, @preserve, frame keywords outside
+        # frame mode, context-only keywords used as node keys) FALLS
+        # THROUGH to the generic property path and is kept as a property
+        # under its keyword name — the reference's keyword dispatch has
+        # no default case and its key loop ends in _addValue(parent,
+        # expandedProperty, ..., propertyIsArray: true)
+        # (expand.js:510-524 guard, 996-1000 generic add; scalar values
+        # survive VERBATIM via the keyword check in expand.js:1101-1102)
 
         # ---- regular property -------------------------------------------
         term_def = active_ctx.mappings.get(key) or {}
@@ -826,14 +831,22 @@ def _expand_value(active_ctx, active_property, value, options):
     """Value Expansion (spec §5.3.2; cf. reference expand.js:1053-1129)."""
     if value is None:
         return None
-    if active_property in ("@id",):
+    # the property drives dispatch through its EXPANDED form
+    # (expand.js:1060-1061): a term aliased to a keyword behaves as
+    # that keyword here
+    expanded_ap = expand_iri(active_ctx, active_property, vocab_mode=True,
+                             options=options)
+    if expanded_ap == "@id":
         return expand_iri(active_ctx, value, base_mode=True, options=options)
-    if active_property in ("@type",):
+    if expanded_ap == "@type":
         return expand_iri(active_ctx, value, base_mode=True, vocab_mode=True,
                           options=options)
     term_def = active_ctx.mappings.get(active_property) or {}
     type_mapping = term_def.get("@type")
-    if type_mapping == "@id" and isinstance(value, str):
+    # @id expansion is AUTOMATIC for string values under @graph
+    # (expand.js:1073): a scalar graph entry becomes a node reference
+    if ((type_mapping == "@id" or expanded_ap == "@graph")
+            and isinstance(value, str)):
         ev = expand_iri(active_ctx, value, base_mode=True, options=options)
         if ev is None and is_keyword_like(value):
             # spec edge case w3c/json-ld-api#480
@@ -844,7 +857,7 @@ def _expand_value(active_ctx, active_property, value, options):
     if type_mapping == "@vocab" and isinstance(value, str):
         return {"@id": expand_iri(active_ctx, value, base_mode=True,
                                   vocab_mode=True, options=options)}
-    if is_keyword(active_property):
+    if is_keyword(expanded_ap):
         return value
     rval = {"@value": value}
     if type_mapping not in (None, "@id", "@vocab", "@none"):

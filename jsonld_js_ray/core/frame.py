@@ -29,16 +29,21 @@ def frame_document(document, frame_doc, options: dict):
     options.setdefault("explicit", False)
     options.setdefault("requireAll", False)
     options.setdefault("omitDefault", False)
-    # mode-specific defaults (cf. reference jsonld.js:458-464)
-    is11 = options.get("processingMode") != "json-ld-1.0"
+    frame_ctx = frame_doc.get("@context", {}) if isinstance(frame_doc, dict)\
+        else {}
+    # mode-specific defaults derive from the PROCESSED frame context,
+    # not the raw option (jsonld.js:455-464: _processingMode(activeCtx,
+    # 1.1) after processContext) — a null reset inside the frame's
+    # context array unpins an explicit json-ld-1.0 option
+    _mode_ctx = process_context(initial_context(options), frame_ctx,
+                                options)
+    is11 = _mode_ctx.processing_mode != "json-ld-1.0"
     options.setdefault("pruneBlankNodeIdentifiers", is11)
     options.setdefault("omitGraph", is11)
 
     expanded = expand_document(document, options)
     frame_opts = dict(options)
     frame_opts["isFrame"] = True
-    frame_ctx = frame_doc.get("@context", {}) if isinstance(frame_doc, dict)\
-        else {}
     expanded_frame = expand_document(frame_doc, frame_opts)
     # the expanded frame must be a single node object, with valid
     # @id/@type patterns (frame.js:78 via _validateFrame)
@@ -51,7 +56,7 @@ def frame_document(document, frame_doc, options: dict):
     # if the unexpanded frame includes a key expanding to @graph, frame
     # the default graph, otherwise the merged graph
     # (cf. reference jsonld.js:474-479)
-    active_ctx = process_context(initial_context(options), frame_ctx, options)
+    active_ctx = _mode_ctx
     frame_keys = [expand_iri(active_ctx, k, vocab_mode=True)
                   for k in (frame_doc.keys()
                             if isinstance(frame_doc, dict) else [])]

@@ -146,20 +146,27 @@ def create_node_map(element, graph_map: dict, active_graph: str,
     # node object
     if "@id" in element:
         el_id = element["@id"]
-        if not isinstance(el_id, str) or not el_id:
-            # embedded null-@id objects are skipped (nodeMap.js:189-191:
-            # `if('@id' in o && !o['@id']) continue`); a TOP-LEVEL node
-            # with null @id is a blank node and gets a fresh label
-            # (nodeMap.js:97-100 via isBlankNode on non-string @id) —
-            # the @RESERVED path produces exactly this shape
-            if (active_property is not None
-                    or isinstance(active_subject, dict)
-                    or list_ is not None):
-                return
+        if (not el_id and not isinstance(el_id, (dict, list))
+                and (active_property is not None
+                     or isinstance(active_subject, dict)
+                     or list_ is not None)):
+            # embedded FALSY-@id objects are skipped (nodeMap.js:189-191:
+            # `if('@id' in o && !o['@id']) continue`) — that includes
+            # the EMPTY STRING, not just null
+            return
+        if not isinstance(el_id, str):
+            # a TOP-LEVEL node with a non-string @id is a blank node
+            # and gets a fresh label (nodeMap.js:97-100 via isBlankNode
+            # on non-string @id) — the @RESERVED path produces exactly
+            # this shape
             node_id = issuer.get_id()
         elif el_id.startswith("_:"):
             node_id = issuer.get_id(el_id)
         else:
+            # the empty string is NOT a blank node (graphTypes.js:
+            # isBlankNode requires non-string or '_:' prefix): a
+            # top-level "@id": "" (kept verbatim under "@base": null)
+            # keys the node map verbatim (fuzz seed 276)
             node_id = el_id
     else:
         node_id = issuer.get_id()

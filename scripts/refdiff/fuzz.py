@@ -34,8 +34,10 @@ LANGS = ["en", "fr", "de", "ar"]
 TYPES = ["T1", "T2", "T3"]
 CONTAINERS = [None, "@set", "@list", "@index", "@language", "@id",
               "@type", "@graph", ["@graph", "@index"],
-              ["@graph", "@id"], ["@index", "@set"]]
-COERCIONS = [None, "@id", "@vocab", "@json",
+              ["@graph", "@id"], ["@index", "@set"],
+              ["@id", "@set"], ["@type", "@set"],
+              ["@language", "@set"], ["@graph", "@set"]]
+COERCIONS = [None, "@id", "@vocab", "@json", "@none",
              "http://www.w3.org/2001/XMLSchema#integer",
              "http://www.w3.org/2001/XMLSchema#date"]
 
@@ -43,13 +45,23 @@ COERCIONS = [None, "@id", "@vocab", "@json",
 def gen_context(rng: random.Random) -> dict:
     ctx: dict = {"@version": 1.1}
     if rng.random() < 0.7:
-        ctx["@vocab"] = EX
+        # "" = vocab mapping resolves to the document base (1.1);
+        # "#frag" = vocab-relative-to-base
+        ctx["@vocab"] = EX if rng.random() < 0.9 else \
+            rng.choice(["", "#v-"])
     if rng.random() < 0.3:
         ctx["@language"] = rng.choice(LANGS)
     if rng.random() < 0.15:
         ctx["@direction"] = rng.choice(["ltr", "rtl"])
     if rng.random() < 0.2:
-        ctx["@base"] = "http://base.example/dir/"
+        # null @base suppresses document-relative relativization /
+        # resolution entirely
+        ctx["@base"] = "http://base.example/dir/" \
+            if rng.random() < 0.8 else None
+    if rng.random() < 0.08:
+        # @-prefixed non-keyword term: ignored with a warning event
+        # (safe mode turns it into an error — both engines must agree)
+        ctx["@keywordish"] = EX + "kw"
     for term in rng.sample(TERMS, rng.randint(2, len(TERMS))):
         if rng.random() < 0.35:
             ctx[term] = EX + term
@@ -163,8 +175,10 @@ def gen_node(rng: random.Random, depth: int) -> dict:
     for term in rng.sample(TERMS, rng.randint(1, 3)):
         r = rng.random()
         if r < 0.15 and depth > 0:
-            node[term] = {"k" + str(rng.randint(0, 2)):
-                          gen_value(rng, depth - 1)
+            # map keys: plain strings (index/lang/id/type map keys per
+            # the term's container) plus the explicit @none bucket
+            keys = ["k0", "k1", "k2", "@none"]
+            node[term] = {rng.choice(keys): gen_value(rng, depth - 1)
                           for _ in range(rng.randint(1, 2))}
         elif r < 0.3:
             node[term] = [gen_value(rng, depth - 1)
@@ -189,6 +203,28 @@ def gen_node(rng: random.Random, depth: int) -> dict:
             gen_value(rng, 0)
     if rng.random() < 0.06:
         node["id"] = "urn:via-alias" + str(rng.randint(0, 3))
+    # eighth-wave grammar: INLINE node-level contexts — an embedded
+    # @context layered over the active context at this node (expand
+    # processes it before any key; propagates into the subtree), an
+    # ARRAY of contexts applied in sequence, or null (full reset to
+    # the initial context, dropping @vocab/@base/terms)
+    if rng.random() < 0.1:
+        r2 = rng.random()
+        if r2 < 0.2:
+            node["@context"] = None
+        elif r2 < 0.45:
+            node["@context"] = [None, {"@vocab": EX + "inline/"}]
+        elif r2 < 0.7:
+            t = rng.choice(TERMS)
+            node["@context"] = {t: {"@id": EX + "redef/" + t,
+                                    "@container": "@set"}
+                                if rng.random() < 0.5
+                                else EX + "redef/" + t}
+        else:
+            node["@context"] = [
+                {"@vocab": EX + "a/"},
+                {rng.choice(TERMS): EX + "b/t",
+                 "@language": rng.choice(LANGS + [None])}]
     return node
 
 
@@ -312,7 +348,17 @@ def corrupt_doc(seed: int) -> dict:
 def gen_doc(seed: int) -> dict:
     rng = random.Random(seed)
     doc = gen_node(rng, rng.randint(1, 3))
-    doc["@context"] = gen_context(rng)
+    ctx = gen_context(rng)
+    if rng.random() < 0.12:
+        # document-level context ARRAY: layered in sequence (later
+        # entries override), optionally null-first (reset then build)
+        overlay = {rng.choice(TERMS): EX + "layer2/t"}
+        if rng.random() < 0.5:
+            overlay["@language"] = rng.choice(LANGS + [None])
+        doc["@context"] = [None, ctx, overlay] \
+            if rng.random() < 0.3 else [ctx, overlay]
+    else:
+        doc["@context"] = ctx
     return doc
 
 
