@@ -438,29 +438,39 @@ def _expand_object(active_ctx, active_property, element, result, nests,
             continue
 
         if expanded_property == "@language":
-            if isinstance(value, str):
-                if not BCP47_RE.match(value):
-                    emit_event(options, "invalid @language value",
-                               f"@language value {value!r} is not "
-                               "well-formed BCP47.")
-                result["@language"] = value.lower()
-            elif frame_expansion and isinstance(value, (dict, list)):
-                vs = value if isinstance(value, list) else [value]
-                result["@language"] = [
-                    v.lower() if isinstance(v, str) else v for v in vs]
-            else:
+            if value is None:
+                # null @language drops as if absent (expand.js:713-716)
+                continue
+            if not isinstance(value, str) and not frame_expansion:
                 raise JsonLdError("@language value must be a string.",
                                   "invalid language-tagged string")
+            # frame mode admits ANY shape: arrays, wildcard dicts, even
+            # numbers (expand.js:717-748 gates the throw on !isFrame and
+            # lowercases/validates only the string items)
+            vs = value if isinstance(value, list) else [value]
+            vs = [v.lower() if isinstance(v, str) else v for v in vs]
+            for v in vs:
+                if isinstance(v, str) and not BCP47_RE.match(v):
+                    emit_event(options, "invalid @language value",
+                               f"@language value {v!r} is not "
+                               "well-formed BCP47.")
+            # addValue propertyIsArray=isFrame (expand.js:746-747)
+            result["@language"] = vs if frame_expansion else vs[0]
             continue
 
         if expanded_property == "@direction":
-            if value in ("ltr", "rtl"):
-                result["@direction"] = value
-            elif frame_expansion and isinstance(value, (dict, list)):
-                result["@direction"] = value
-            else:
+            if not isinstance(value, str) and not frame_expansion:
                 raise JsonLdError('@direction must be "ltr" or "rtl".',
                                   "invalid base direction")
+            vs = value if isinstance(value, list) else [value]
+            for v in vs:
+                # string items must be ltr/rtl in BOTH modes; frame
+                # mode passes non-strings through (expand.js:755-775)
+                if isinstance(v, str) and v not in ("ltr", "rtl"):
+                    raise JsonLdError(
+                        '@direction must be "ltr" or "rtl".',
+                        "invalid base direction")
+            result["@direction"] = vs if frame_expansion else vs[0]
             continue
 
         if expanded_property == "@index":

@@ -130,17 +130,31 @@ def _list_to_rdf(quads, items, issuer, graph_term, options):
         obj = _object_to_rdf(item, options, issuer=issuer, quads=quads,
                              graph_term=graph_term)
         nxt = issuer.get_id()
-        if obj is not None:
-            quads.append((subject, RDF_FIRST, obj[0], obj[1], obj[2],
-                          obj[3], graph_term))
+        if obj is None:
+            # the reference's _listToRDF has NO null guard (unlike the
+            # regular property site): a dropped object (relative-IRI
+            # node reference under @base null) is pushed into the
+            # dataset and N-Quads serialization crashes reading
+            # `.termType` of null (toRdf.js:224-233; fuzz seed 4398) —
+            # mirrored as a typed error
+            raise JsonLdError(
+                "Cannot read properties of null (reading 'termType') "
+                "(reference TypeError: dropped object inside @list)",
+                "TypeError parity")
+        quads.append((subject, RDF_FIRST, obj[0], obj[1], obj[2],
+                      obj[3], graph_term))
         quads.append((subject, RDF_REST, OBJ_BNODE, nxt, None, None,
                       graph_term))
         subject = nxt
     obj = _object_to_rdf(last, options, issuer=issuer, quads=quads,
                          graph_term=graph_term)
-    if obj is not None:
-        quads.append((subject, RDF_FIRST, obj[0], obj[1], obj[2], obj[3],
-                      graph_term))
+    if obj is None:
+        raise JsonLdError(
+            "Cannot read properties of null (reading 'termType') "
+            "(reference TypeError: dropped object inside @list)",
+            "TypeError parity")
+    quads.append((subject, RDF_FIRST, obj[0], obj[1], obj[2], obj[3],
+                  graph_term))
     quads.append((subject, RDF_REST, OBJ_IRI, RDF_NIL, None, None,
                   graph_term))
     return result

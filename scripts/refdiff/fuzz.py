@@ -533,13 +533,18 @@ def gen_remote_case(seed: int) -> tuple[dict, dict]:
         if rng.random() < 0.3:
             td: dict = {"@id": EX + "r/" + t}
             if rng.random() < 0.5:
-                td["@protected"] = True
+                # strict-boolean semantics: only the literal true
+                # protects; "yes"/1 are silently ignored
+                td["@protected"] = rng.choice([True, True, "yes", 1,
+                                               False])
             container = rng.choice(CONTAINERS)
             if container:
                 td["@container"] = container
             leaf[t] = td
         else:
             leaf[t] = EX + "r/" + t
+    if rng.random() < 0.15:
+        leaf["@protected"] = rng.choice([True, "yes"])
     snapshot[CTX_BASE + f"leaf{seed % 7}"] = {"@context": leaf}
 
     mid: dict = {"@version": 1.1}
@@ -567,17 +572,32 @@ def gen_remote_case(seed: int) -> tuple[dict, dict]:
     elif r < 0.6:
         ctx_ref = [CTX_BASE + f"leaf{seed % 7}",
                    CTX_BASE + f"mid{seed % 5}"]
-    else:
+    elif r < 0.85:
         # inline override on top of the remote chain — may clash with
         # @protected terms (error-presence comparison covers both)
         override = {rng.choice(TERMS): EX + "override"}
         if rng.random() < 0.3:
             override["@version"] = 1.1
         ctx_ref = [CTX_BASE + f"mid{seed % 5}", override]
+    else:
+        # NULL RESET inside / after a remote chain: nullification of
+        # remote-declared @protected terms must error identically, and
+        # a null-first array re-derives everything from scratch
+        ctx_ref = rng.choice([
+            [CTX_BASE + f"leaf{seed % 7}", None,
+             {"@vocab": EX + "post/"}],
+            [None, CTX_BASE + f"mid{seed % 5}"],
+            [CTX_BASE + f"mid{seed % 5}", None]])
 
     doc = gen_node(rng, rng.randint(1, 2))
     if rng.random() < 0.3:
         doc["scopedRemote"] = gen_node(rng, 1)
+    if rng.random() < 0.12:
+        # inline node-level context on top of the remote chain
+        doc["inlinenode"] = {
+            "@context": rng.choice(
+                [None, {"@vocab": EX + "inline/"}]),
+            rng.choice(TERMS): "v"}
     doc["@context"] = ctx_ref
     return doc, snapshot
 
