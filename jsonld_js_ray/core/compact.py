@@ -474,6 +474,13 @@ def compact_value(active_ctx, active_property, value, options):
                 v = compact_iri(active_ctx, v, relative_to_vocab=True)
             elif k == "@language" and "@type" in value:
                 continue
+            elif k == "@index" and not preserve_index:
+                # an unpreserved @index (the active property has an
+                # @index container — property-based or not) is silently
+                # DROPPED from the kept object: the reference's build
+                # only copies @index under preserveIndex
+                # (compact.js:1005-1011; fuzz seed 6001)
+                continue
             alias = compact_iri(active_ctx, k, relative_to_vocab=True)
             rval[alias] = v
         return rval

@@ -576,9 +576,20 @@ def _expand_object(active_ctx, active_property, element, result, nests,
             # container maps take precedence over @json coercion
             # (expand.js:860-918: the @json branch is the FALLBACK else;
             # an index map under a @json term expands per entry, with
-            # @json applying to each scalar entry value)
+            # @json applying to each scalar entry value).
+            # the map expands under the TERM context (expand.js:846-858
+            # computes termCtx and passes it as _expandIndexMap's
+            # activeCtx): when the term carries a scoped context, that
+            # processing goes through the reference's direction-dropping
+            # clone, so index-key value expansion loses the default
+            # @direction exactly like language maps do (fuzz seed 1938)
+            term_ctx = active_ctx
+            if "@context" in term_def:
+                term_ctx = process_context(
+                    active_ctx, term_def["@context"], options,
+                    override_protected=True)
             expanded_value = _expand_index_map(
-                active_ctx, key, value, term_def, container, options)
+                term_ctx, key, value, term_def, container, options)
         elif term_def.get("@type") == "@json":
             expanded_value = {"@value": value, "@type": "@json"}
         else:
@@ -780,6 +791,13 @@ def _expand_index_map(active_ctx, key, value, term_def, container, options):
     as_graph = "@graph" in container
     index_key = term_def.get("@index", "@index")
     property_index = index_key != "@index"
+    if ("@type" in container and "@index" not in container
+            and "@id" not in container
+            and active_ctx.previous_context is not None):
+        # type maps expand under the REVERTED term context
+        # (expand.js:896-906: activeCtx: termCtx.revertToPreviousContext()
+        # — the revert CLONES, dropping @direction like every clone)
+        active_ctx = active_ctx.previous_context.clone()
     for idx in sorted(value.keys()):
         items = value[idx]
         map_ctx = active_ctx
@@ -798,10 +816,24 @@ def _expand_index_map(active_ctx, key, value, term_def, container, options):
             if as_graph and not is_graph(item):
                 item = {"@graph": [item]}
             if "@index" in container:
-                if expanded_idx != "@none":
-                    if property_index:
-                        # property-based indexing: re-expand idx as a value
-                        # of index_key and add it to the item
+                if property_index:
+                    # property-based indexing: a VALUE item is an
+                    # immediate error — the reference's isValue check
+                    # (expand.js:1248-1254) runs before the property
+                    # injection, is not exempt for property indexes,
+                    # and fires even under "@none" keys (fuzz seed 153)
+                    if is_value(item):
+                        raise JsonLdError(
+                            "Attempt to add illegal key to value "
+                            f'object: "{index_key}".',
+                            "invalid value object")
+                    # @none-ness is the LITERAL key here, not a vocab
+                    # expansion (expand.js:1226-1233: expandedKey is
+                    # '@none' only when the raw key is '@none')
+                    if idx != "@none":
+                        # re-expand idx as a VALUE of index_key (the
+                        # raw term: its own @type/@language coercions
+                        # apply) and PREPEND it to the property
                         idx_val = _expand_value(
                             active_ctx, index_key, idx, options)
                         prop_iri = expand_iri(
@@ -809,15 +841,11 @@ def _expand_index_map(active_ctx, key, value, term_def, container, options):
                             options=options)
                         item.setdefault(prop_iri, [])
                         item[prop_iri] = [idx_val] + item[prop_iri]
-                        if is_value(item) and len(item) > 1:
-                            raise JsonLdError(
-                                "invalid value object with property index.",
-                                "invalid value object")
-                    elif "@index" not in item:
-                        # value objects get @index too (reference
-                        # expand.js:1274-1276 has no isValue guard;
-                        # @index is legal on value objects)
-                        item["@index"] = idx
+                elif expanded_idx != "@none" and "@index" not in item:
+                    # value objects get @index too (reference
+                    # expand.js:1274-1276 has no isValue guard;
+                    # @index is legal on value objects)
+                    item["@index"] = idx
             elif "@id" in container:
                 if is_value(item):
                     # value objects cannot take an @id from the map key

@@ -113,7 +113,28 @@ def create_node_map(element, graph_map: dict, active_graph: str,
     # relabel blank-node @type values (node objects carry a list; value
     # objects carry a scalar like "@json" or a datatype IRI)
     el_types = element.get("@type")
-    if isinstance(el_types, list):
+    if isinstance(el_types, list) and is_value(element):
+        # the VALUE branch (nodeMap.js:65-77) runs Array.prototype
+        # .indexOf on the whole array — a silent no-op — so a value
+        # object's LIST @type survives VERBATIM: no member rename, no
+        # crash (fuzz seed 7981 reaches toRDF with @type [null])
+        pass
+    elif isinstance(el_types, list):
+        if not is_value(element):
+            # the SUBJECT path's early bnode-type scan calls
+            # type.indexOf on every member (nodeMap.js:86-92): a null
+            # @type member (injected by a type-map key that expanded to
+            # null) crashes with a raw TypeError — mirrored (fuzz seed
+            # 6465). The VALUE branch (nodeMap.js:65-77) instead runs
+            # Array.prototype.indexOf on the whole array — a silent
+            # no-op — so value objects with list @type survive
+            # (fuzz seed 7981 reaches toRDF with @type [null]).
+            for t in el_types:
+                if not isinstance(t, str):
+                    raise JsonLdError(
+                        "Cannot read properties of null (reading "
+                        "'indexOf') (reference TypeError: non-string "
+                        "@type member in node map)", "TypeError parity")
         el_types = [issuer.get_id(t) if isinstance(t, str)
                     and t.startswith("_:") else t for t in el_types]
     elif isinstance(el_types, str):
@@ -147,12 +168,16 @@ def create_node_map(element, graph_map: dict, active_graph: str,
     if "@id" in element:
         el_id = element["@id"]
         if (not el_id and not isinstance(el_id, (dict, list))
+                and list_ is None
                 and (active_property is not None
-                     or isinstance(active_subject, dict)
-                     or list_ is not None)):
+                     or isinstance(active_subject, dict))):
             # embedded FALSY-@id objects are skipped (nodeMap.js:189-191:
             # `if('@id' in o && !o['@id']) continue`) — that includes
-            # the EMPTY STRING, not just null
+            # the EMPTY STRING, not just null. The skip lives ONLY in
+            # the property-value loop: LIST items recurse straight into
+            # createNodeMap's node branch, so a falsy-@id list entry is
+            # KEPT ("" verbatim, non-string → fresh blank label;
+            # fuzz seed 1973)
             return
         if not isinstance(el_id, str):
             # a TOP-LEVEL node with a non-string @id is a blank node

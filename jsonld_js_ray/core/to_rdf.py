@@ -160,6 +160,15 @@ def _list_to_rdf(quads, items, issuer, graph_term, options):
     return result
 
 
+class _ArrayDatatype(str):
+    """A datatype string coerced from a JS-array @type: always truthy
+    (a JS array is truthy even when its toString() is ''), so the
+    `datatype or XSD_*` fallbacks must never fire for it."""
+
+    def __bool__(self):
+        return True
+
+
 def _object_to_rdf(item, options, issuer=None, quads=None, graph_term=None):
     """Value/node → object term (cf. reference toRdf.js:276-401).
 
@@ -191,8 +200,13 @@ def _object_to_rdf(item, options, issuer=None, quads=None, graph_term=None):
         # a @type-container map key prepended onto a VALUE object leaves
         # a LIST @type (both engines, expand.js:1240-1246 has no isValue
         # guard); the reference then uses it as the literal datatype via
-        # implicit JS Array→string coercion (comma-join) — mirror that
-        datatype = ",".join(str(d) for d in datatype)
+        # implicit JS Array→string coercion: null joins as EMPTY, and
+        # the `datatype || XSD_*` fallback never fires because the
+        # ARRAY itself is truthy — `[null]` yields `^^<>` verbatim
+        # (fuzz seed 7981)
+        datatype = ",".join("" if d is None else str(d)
+                            for d in datatype)
+        datatype = _ArrayDatatype(datatype)
     language = item.get("@language")
     direction = item.get("@direction")
     rdf_direction = options.get("rdfDirection")

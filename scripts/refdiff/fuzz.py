@@ -62,6 +62,15 @@ def gen_context(rng: random.Random) -> dict:
         # @-prefixed non-keyword term: ignored with a warning event
         # (safe mode turns it into an error — both engines must agree)
         ctx["@keywordish"] = EX + "kw"
+    if rng.random() < 0.12:
+        # explicitly NULLED term: blocks the vocab fallback
+        ctx[rng.choice(TERMS)] = None
+    if rng.random() < 0.1:
+        # term-chain @id: a term whose @id is ANOTHER term name
+        # (resolves through the term, then vocab)
+        a, b = rng.sample(TERMS, 2)
+        ctx[a] = EX + "chain/"
+        ctx[b] = a
     for term in rng.sample(TERMS, rng.randint(2, len(TERMS))):
         if rng.random() < 0.35:
             ctx[term] = EX + term
@@ -70,6 +79,13 @@ def gen_context(rng: random.Random) -> dict:
         container = rng.choice(CONTAINERS)
         if container:
             td["@container"] = container
+        # property-based index container (1.1): the map key becomes a
+        # VALUE of the named property on each entry
+        if rng.random() < 0.25 and (
+                container == "@index"
+                or (isinstance(container, list)
+                    and "@index" in container)):
+            td["@index"] = rng.choice(["alpha", EX + "ip"])
         coerce = rng.choice(COERCIONS)
         # @json cannot combine with @container @language/@id/@type here
         if coerce and not (coerce == "@json" and container not in
@@ -427,6 +443,17 @@ def gen_frame(seed: int, doc: dict) -> dict:
                                   {"@id": "urn:x"}])]}
     elif wr < 0.75:
         frame["@reverse"] = {EX + "rp": rng.choice([{}, {"@type": {}}])}
+    elif wr < 0.83:
+        # named-graph framing: @graph subframe selects the default
+        # graph when top-level (jsonld.js:474-479) and recurses into
+        # named graphs per node
+        g: dict = {"@graph": [rng.choice(
+            [{}, {"@type": rng.choice(TYPES)},
+             {rng.choice(TERMS): {}}])]}
+        if rng.random() < 0.5:
+            frame["@graph"] = g["@graph"]
+        else:
+            frame[rng.choice(TERMS)] = g
     return frame
 
 
@@ -442,6 +469,17 @@ def gen_op_options(seed: int, op: str) -> dict:
                                      "merge": 10,
                                      "frameC": 11}.get(op, 6))
     opts: dict = {}
+    # NO document base: relative IRI references have nothing to resolve
+    # against (dropped subjects/objects, kept relative @ids under
+    # @base-less contexts — a distinct kernel path). Decided PER SEED,
+    # not per op: jsonld.js's shared inline-context LRU caches
+    # PROCESSED contexts across API calls in one process, pinning
+    # base-dependent resolutions (@vocab: "") to the FIRST request's
+    # base — mixing bases across ops of one seed in one node process
+    # replays the first op's base into later ops (a cache artifact of
+    # the batch harness, not kernel semantics)
+    if random.Random(seed * 97 + 13).random() < 0.08:
+        opts["base"] = None
     if rng.random() < 0.15:
         opts["processingMode"] = "json-ld-1.0"
     if rng.random() < 0.1:

@@ -292,3 +292,22 @@ def test_unknown_rdf_direction_still_raises():
         nq(doc, rdfDirection="bogus")
     with pytest.raises(JsonLdError):
         api.from_rdf("", {"rdfDirection": "bogus"})
+
+
+def test_type_map_null_key_yields_empty_datatype():
+    """A type-map key expanding to null leaves a LIST @type on the value
+    object; the reference uses it as the literal datatype via JS
+    Array->string coercion with the truthy-array fallback skip: [null]
+    serializes as ^^<> (toRdf.js:292-299 — `[null] || XSD` keeps the
+    array; nodeMap.js:65-77 value branch is a silent Array.indexOf
+    no-op). The empty datatype is invalid N-Quads, so this class is
+    pinned here instead of the manifest (fuzz seed 7981)."""
+    from jsonld_js_ray import api
+    doc = {"@context": {"@version": 1.1,
+                        "t": {"@id": "http://v/t", "@container": "@type"}},
+           "@id": "http://n/s", "t": {"@foo": True}}
+    quads = api.to_rdf(doc, {"base": "http://b/"})
+    assert len(quads) == 1
+    s, p, kind, v, dt, lang, g = quads[0]
+    assert (s, p, v) == ("http://n/s", "http://v/t", "true")
+    assert dt == "" and bool(dt) is True  # truthy-array mirror
