@@ -191,9 +191,20 @@ def compact(document, ctx, options: Optional[dict] = None):
                           "invalid local context")
     options = _opts(options)
     if options.get("compactToRelative") is False:
-        # reference drops base entirely before expand+compact
-        # (jsonld.js:164-165), keeping IRIs absolute
-        options["base"] = None
+        # the reference DELETES options.base (jsonld.js:164-165) — and
+        # the deleted state lands DIFFERENTLY on the two phases:
+        # - EXPANSION inside compact resolves per-IRI with
+        #   prependBase(undefined, iri) = the EMPTY-base mode
+        #   ('' -> './', 'rel/../dot' -> 'dot'; context.js:1145);
+        # - COMPACTION's relativization gets NULL via compactIri's
+        #   destructuring default (`base = null`, compact.js:677 —
+        #   `base: options.base` with undefined falls back), so IRIs
+        #   stay whole — while the compaction context STILL processes
+        #   under the empty-base mode (@vocab: "" resolves to './',
+        #   symmetrically with expansion; fuzz seeds 240, 542, 1332).
+        #   compact_iri encodes the null-relativization rule for the
+        #   "" sentinel.
+        options["base"] = ""
     if options.get("skipExpansion"):
         # input is already expanded (cf. reference jsonld.js:168-175);
         # used by frame/flatten to avoid a redundant expansion pass

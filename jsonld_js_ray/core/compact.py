@@ -409,6 +409,13 @@ def compact_iri(active_ctx: ActiveContext, iri: Optional[str],
                 rel = "./" + rel
             return rel
         eff = active_ctx.base if active_ctx.base is not None else base
+        if eff == "":
+            # the DELETED-base sentinel (compactToRelative=false):
+            # the reference's compactIri receives base=null via its
+            # destructuring default when options.base is undefined
+            # (compact.js:677), so relativization is a no-op — even
+            # though context processing above ran in empty-base mode
+            return iri
         if eff is not None:
             return remove_base(eff, iri)
     return iri

@@ -952,10 +952,15 @@ def expand_iri(active_ctx: ActiveContext, value, *,
     if vocab_mode and active_ctx.vocab is not None:
         return active_ctx.vocab + value
     if base_mode:
-        # a FALSY base ('' or null) preserves the value unresolved
-        # (context.js:1136-1143: `if(activeCtx['@base'])` — the empty
-        # string keeps relative references relative)
-        if active_ctx.base:
-            return prepend_base(active_ctx.base, value)
-        return value
+        # three modes (context.js:1132-1147):
+        # - a LOCAL context set @base: falsy (@base null) preserves the
+        #   value unresolved, truthy resolves against it;
+        # - no local @base: resolve against OPTIONS base, where null
+        #   preserves but the EMPTY string (a DELETED base — the
+        #   compactToRelative=false state, and jsonld.js's default for
+        #   non-string input) resolves against the empty base
+        #   ('' -> './', 'rel/../dot' -> 'dot'; fuzz seed 240)
+        if active_ctx.has_ctx_base and not active_ctx.base:
+            return value
+        return prepend_base(active_ctx.base, value)
     return value

@@ -13,8 +13,14 @@ import re
 from functools import lru_cache
 
 # RFC 3986 appendix B regex
+# scheme per the reference's FULL parser (url.js:31): letter-first,
+# then [a-zA-Z0-9+-.] — a JS char-class RANGE from '+' (0x2B) to '.'
+# (0x2E), i.e. + , - . — so digit-first "schemes" like '34:x' parse as
+# PATH and resolve against the base verbatim (fixture t0300; a latent
+# mismatch the simple [^:/?#]+ pattern hid until the empty-base mode)
 _URL_RE = re.compile(
-    r"^(([^:/?#]+):)?(//([^/?#]*))?([^?#]*)(\?([^#]*))?(#(.*))?$")
+    r"^(([a-zA-Z][a-zA-Z0-9+,\-.]*):)?(//([^/?#]*))?([^?#]*)"
+    r"(\?([^#]*))?(#(.*))?$")
 
 
 class ParsedUrl:
@@ -49,43 +55,34 @@ def parse_url(url: str) -> ParsedUrl:
 
 
 def remove_dot_segments(path: str) -> str:
-    """RFC 3986 §5.2.4."""
+    """The reference's REWORKED RFC 3986 §5.2.4 (url.js:96-140), not
+    the literal RFC algorithm: segments split on '/', '..' pops the
+    previous segment unconditionally. The two agree on every absolute
+    path, but differ on RELATIVE paths where '..' consumes a preceding
+    segment — 'rel/../dot' yields 'dot' here vs the RFC's '/dot'
+    (reachable only through the empty-base mode; fuzz seed 240)."""
     if not path:
         return ""
+    segments = path.split("/")
     output: list[str] = []
-    inp = path
-    while inp:
-        if inp.startswith("../"):
-            inp = inp[3:]
-        elif inp.startswith("./"):
-            inp = inp[2:]
-        elif inp.startswith("/./"):
-            inp = "/" + inp[3:]
-        elif inp == "/.":
-            inp = "/"
-        elif inp.startswith("/../"):
-            inp = "/" + inp[4:]
+    for i, nxt in enumerate(segments):
+        done = i == len(segments) - 1
+        if nxt == ".":
+            if done:
+                output.append("")  # trailing /
+            continue
+        if nxt == "..":
             if output:
                 output.pop()
-        elif inp == "/..":
-            inp = "/"
-            if output:
-                output.pop()
-        elif inp in (".", ".."):
-            inp = ""
-        else:
-            # move first path segment (incl. leading '/') to output
-            if inp.startswith("/"):
-                i = inp.find("/", 1)
-            else:
-                i = inp.find("/")
-            if i == -1:
-                output.append(inp)
-                inp = ""
-            else:
-                output.append(inp[:i])
-                inp = inp[i:]
-    return "".join(output)
+            if done:
+                output.append("")  # trailing /
+            continue
+        output.append(nxt)
+    if path.startswith("/") and output and output[0] != "":
+        output.insert(0, "")
+    if output == [""]:
+        return "/"
+    return "/".join(output)
 
 
 def _merge_paths(base: ParsedUrl, ref_path: str) -> str:
@@ -167,6 +164,22 @@ def remove_base(base, iri: str) -> str:
     """
     if base is None:
         return iri
+    if base == "":
+        # DELETED/empty base (url.js:240-246: root becomes '//' unless
+        # the IRI is a network-path reference): plain IRIs return
+        # unchanged; a '//'-reference strips its authority segment-wise
+        # against the empty base path (observed: '//net.example/x'
+        # relativizes to 'x')
+        if not iri.startswith("//"):
+            return iri
+        r = parse_url(iri)
+        segs = [s for s in remove_dot_segments(r.path).split("/") if s]
+        rval = "/".join(segs)
+        if r.has_query:
+            rval += "?" + (r.query or "")
+        if r.has_fragment:
+            rval += "#" + (r.fragment or "")
+        return rval if rval else "./"
     b = parse_url(base) if isinstance(base, str) else base
     r = parse_url(iri)
     if b.scheme != r.scheme:

@@ -467,7 +467,8 @@ def gen_op_options(seed: int, op: str) -> dict:
                                      "frame": 5, "compactX": 7,
                                      "flattenC": 8, "frameX": 9,
                                      "merge": 10,
-                                     "frameC": 11}.get(op, 6))
+                                     "frameC": 11,
+                                     "compactE": 12}.get(op, 6))
     opts: dict = {}
     # NO document base: relative IRI references have nothing to resolve
     # against (dropped subjects/objects, kept relative @ids under
@@ -500,11 +501,15 @@ def gen_op_options(seed: int, op: str) -> dict:
                           "beta": {"@id": "http://ec.example/beta",
                                    "@type": "@id"}}},
         ])
-    if op in ("compact", "compactX", "flattenC"):
+    if op in ("compact", "compactX", "flattenC", "compactE"):
         if rng.random() < 0.3:
             opts["compactArrays"] = False
         if op != "flattenC" and rng.random() < 0.2:
             opts["graph"] = True
+        if op != "flattenC" and rng.random() < 0.12:
+            # keep IRIs absolute: the reference DELETES options.base
+            # before expand+compact (jsonld.js:164-165)
+            opts["compactToRelative"] = False
     elif op == "toRDF":
         if rng.random() < 0.25:
             opts["produceGeneralizedRdf"] = True
@@ -536,6 +541,18 @@ def gen_from_rdf_options(seed: int) -> dict:
     if rng.random() < 0.3:
         opts["rdfDirection"] = "i18n-datatype"
     return opts
+
+
+def expanded_for_seed(doc) -> list | None:
+    """Expand the fuzz doc with THIS kernel as shared transport for the
+    skipExpansion leg (both engines compact the same expanded array;
+    expansion parity is already proven by the campaign). None when the
+    doc errors."""
+    try:
+        return api.expand(doc,
+                          {"base": "https://fuzz.example/doc.jsonld"})
+    except (JsonLdError, RecursionError):
+        return None
 
 
 def nquads_for_seed(doc) -> str | None:
@@ -691,6 +708,10 @@ def run_mine(op: str, doc, options: dict):
         if op in ("compact", "compactX"):
             return {"result": api.compact(doc, options["_ctx"],
                                           dict(options))}
+        if op == "compactE":
+            return {"result": api.compact(options["_expanded"],
+                                          options["_ctx"],
+                                          dict(options))}
         if op in ("frame", "frameX", "frameC"):
             return {"result": api.frame(doc, options["_frame"],
                                         dict(options))}
@@ -786,7 +807,7 @@ def main():
         return
     ops = ["expand", "flatten", "toRDF", "compact", "frame", "fromRDF",
            "compactX", "flattenC", "frameX", "merge", "corrupt",
-           "frameC", "link"]
+           "frameC", "link", "compactE"]
     base = "https://fuzz.example/doc.jsonld"
     seeds = list(range(start, start + n))
     docs = {s: gen_doc(s) for s in seeds}
@@ -797,6 +818,8 @@ def main():
     # shared N-Quads transport for the fromRDF round-trip leg; None
     # when the doc itself errors (those seeds skip the fromRDF op)
     nqs = {s: nquads_for_seed(docs[s]) for s in seeds}
+    # shared EXPANDED transport for the skipExpansion compact leg
+    exps = {s: expanded_for_seed(docs[s]) for s in seeds}
 
     def merge_case(s):
         """merge leg: this doc + an independent doc, with a per-seed
@@ -814,13 +837,32 @@ def main():
             if op == "compact":
                 # round-trip: compact the document back onto its own
                 # context (reference compact expands internally)
-                reqs.append({"op": op, "input": docs[s],
-                             "context": docs[s]["@context"],
-                             "options": op_opts})
+                req = {"op": op, "input": docs[s],
+                       "context": docs[s]["@context"],
+                       "options": op_opts}
+                if op_opts.get("compactToRelative") is False:
+                    req["fresh"] = True  # base-state change: isolate
+                reqs.append(req)
             elif op == "compactX":
-                reqs.append({"op": "compact", "input": docs[s],
-                             "context": xctx[s],
-                             "options": op_opts})
+                req = {"op": "compact", "input": docs[s],
+                       "context": xctx[s], "options": op_opts}
+                if op_opts.get("compactToRelative") is False:
+                    req["fresh"] = True
+                reqs.append(req)
+            elif op == "compactE":
+                # skipExpansion: both engines compact the SAME
+                # pre-expanded array (this kernel's expansion —
+                # parity proven by the expand leg) onto an
+                # own/foreign context (jsonld.js:168-175)
+                if exps[s] is None:
+                    continue
+                ectx = docs[s]["@context"] if s % 2 == 0 else xctx[s]
+                req = {"op": "compact", "input": exps[s],
+                       "context": ectx,
+                       "options": {**op_opts, "skipExpansion": True}}
+                if op_opts.get("compactToRelative") is False:
+                    req["fresh"] = True
+                reqs.append(req)
             elif op == "flattenC":
                 # flatten WITH a context exercises the reference's
                 # flatten->compact composition (jsonld.js:150-205);
@@ -880,12 +922,19 @@ def main():
         for op in ops:
             if op == "fromRDF" and nqs[s] is None:
                 continue
+            if op == "compactE" and exps[s] is None:
+                continue
             ref = refs[i]; i += 1
             opts = {"base": base, **gen_op_options(s, op)}
             if op == "compact":
                 opts["_ctx"] = docs[s]["@context"]
             elif op == "compactX":
                 opts["_ctx"] = xctx[s]
+            elif op == "compactE":
+                opts["_ctx"] = (docs[s]["@context"] if s % 2 == 0
+                                else xctx[s])
+                opts["_expanded"] = exps[s]
+                opts["skipExpansion"] = True
             elif op == "flattenC":
                 opts["_ctx"] = (docs[s]["@context"] if s % 2 == 0
                                 else xctx[s])

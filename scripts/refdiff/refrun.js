@@ -121,7 +121,17 @@ process.stdin.on('data', c => chunks.push(c));
 process.stdin.on('end', async () => {
   const parsed = JSON.parse(Buffer.concat(chunks).toString('utf8'));
   const reqs = Array.isArray(parsed) ? parsed : [parsed];
+  // jsonld.js's shared inline-context LRU pins base-dependent
+  // context-processing results (@vocab: "", relative @base chains) to
+  // the FIRST request that processed a given context. A request that
+  // changes the effective base mid-batch (compactToRelative: false
+  // deletes options.base) must run against PRISTINE caches — and so
+  // must the request AFTER it, which would otherwise read the
+  // base-less entries it wrote.
+  let needFresh = false;
   for (const req of reqs) {
+    if (req.fresh || needFresh) freshJsonld();
+    needFresh = !!req.fresh;
     process.stdout.write(JSON.stringify(await run(req)) + '\n');
   }
 });
