@@ -620,10 +620,33 @@ def gen_remote_case(seed: int) -> tuple[dict, dict]:
                         "@protected": rng.random() < 0.4})
     snapshot[CTX_BASE + f"mid{seed % 5}"] = {"@context": mid}
 
+    if rng.random() < 0.25:
+        # Link-header contextUrl protocol: dereferencing `linked`
+        # yields a doc whose @context is wrapped as an array with the
+        # contextUrl APPENDED and resolved in turn
+        # (ContextResolver.js:202-207); 30% of these also redirect the
+        # documentUrl (alternate), changing the _context_base for
+        # RELATIVE nested references
+        linked_url = CTX_BASE + f"linked{seed % 3}"
+        entry: dict = {
+            "documentUrl": linked_url,
+            "document": {"@context": {"lk" + str(seed % 2):
+                                      EX + "lk/term"}},
+            "contextUrl": CTX_BASE + f"leaf{seed % 7}"}
+        if rng.random() < 0.3:
+            entry["documentUrl"] = CTX_BASE + "moved/" + f"l{seed % 3}"
+        snapshot[linked_url] = entry
+        mid["viaLink"] = EX + "viaLink"
+        snapshot[CTX_BASE + f"mid{seed % 5}"] = {"@context": mid}
+
     # context reference the document actually uses
     r = rng.random()
-    if r < 0.3:
+    if r < 0.27:
         ctx_ref: object = CTX_BASE + f"mid{seed % 5}"
+    elif r < 0.3:
+        ctx_ref = (CTX_BASE + f"linked{seed % 3}"
+                   if (CTX_BASE + f"linked{seed % 3}") in snapshot
+                   else CTX_BASE + f"mid{seed % 5}")
     elif r < 0.6:
         ctx_ref = [CTX_BASE + f"leaf{seed % 7}",
                    CTX_BASE + f"mid{seed % 5}"]

@@ -58,7 +58,18 @@ async function run(req) {
   if (req.contexts) freshJsonld();
   options.documentLoader = async url => {
     if (url in snapshot) {
-      return {contextUrl: null, documentUrl: url, document: snapshot[url]};
+      const v = snapshot[url];
+      if (v && typeof v === 'object' && 'document' in v &&
+          'documentUrl' in v) {
+        // RemoteDocument-shaped snapshot entry: carries a
+        // Link-header-discovered contextUrl and/or a redirected
+        // documentUrl (ContextResolver.js:202-207 appends contextUrl
+        // to the fetched @context for resolution in turn)
+        return {contextUrl: v.contextUrl || null,
+                documentUrl: v.documentUrl || url,
+                document: v.document};
+      }
+      return {contextUrl: null, documentUrl: url, document: v};
     }
     throw new jsonld.JsonLdError(
       'URL could not be dereferenced: ' + url,
