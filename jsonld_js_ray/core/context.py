@@ -224,6 +224,19 @@ def _ctx_1_1(active_ctx) -> bool:
 # Context processing (spec §4.1.2)
 # ---------------------------------------------------------------------------
 
+def _ctx_js_truthy(v) -> bool:
+    """JS truthiness (containers, even empty, are truthy)."""
+    if v is None or v is False:
+        return False
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, str):
+        return v != ""
+    if isinstance(v, (int, float)):
+        return not (v == 0 or v != v)  # 0, -0, NaN
+    return True
+
+
 def process_context(active_ctx: ActiveContext, local_ctx, options: dict,
                     override_protected: bool = False,
                     propagate: bool = True,
@@ -236,6 +249,17 @@ def process_context(active_ctx: ActiveContext, local_ctx, options: dict,
         # scoped-context VALIDATION recursion guard (reference
         # context.js:410-418 `cycles` set, threaded through api.process)
         cycles = set()
+
+    # top-level dereference chain: an object localCtx whose '@context'
+    # is an ARRAY uses that array (context.js:57-61); otherwise a
+    # JS-TRUTHY '@context' value replaces the wrapper at the resolver
+    # (ContextResolver.js:35-37) — so {"@context": 5} processes 5
+    # (-> 'invalid local context'), while a FALSY value (null/0/""/
+    # false) keeps the wrapper for the per-element dereference below
+    if isinstance(local_ctx, dict) and "@context" in local_ctx:
+        _inner = local_ctx["@context"]
+        if isinstance(_inner, list) or _ctx_js_truthy(_inner):
+            local_ctx = _inner
 
     # whole-context processed cache: documents overwhelmingly apply the
     # SAME local context to a fresh initial context — the Ray analog of
@@ -355,6 +379,14 @@ def process_context(active_ctx: ActiveContext, local_ctx, options: dict,
             options.setdefault("_events", []).extend(captured)
             result = processed
             continue
+
+        # per-element dereference: an object entry carrying an
+        # '@context' key (no truthiness gate) unwraps to that value,
+        # which must then be a plain object — by this point all URLs
+        # were resolved, so a string/array/null here is an error
+        # (context.js:148-157)
+        if isinstance(ctx, dict) and "@context" in ctx:
+            ctx = ctx["@context"]
 
         if not isinstance(ctx, dict):
             raise JsonLdError(

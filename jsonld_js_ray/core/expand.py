@@ -156,16 +156,16 @@ def expand(active_ctx: ActiveContext, active_property: Optional[str],
                         active_ctx, tdef["@context"], options,
                         propagate=False)
 
-    # 12) input type (for @json detection)
+    # 12) input type (for @json detection): the reference's isJsonType
+    # expands the FIRST member of a @type array, not the last
+    # (expand.js:468-475), and gates on JS truthiness of the raw value
     input_type = None
     if type_key is not None:
         tv = element[type_key]
-        tv_list = tv if isinstance(tv, list) else [tv]
-        if tv_list:
-            last = tv_list[-1]
-            if isinstance(last, str):
-                input_type = expand_iri(active_ctx, last, vocab_mode=True,
-                                        options=options)
+        first = (tv[0] if tv else None) if isinstance(tv, list) else tv
+        if first and isinstance(first, str):
+            input_type = expand_iri(active_ctx, first, vocab_mode=True,
+                                    options=options)
 
     result: dict[str, Any] = {}
     nests: list[str] = []
@@ -296,6 +296,7 @@ def _expand_object(active_ctx, active_property, element, result, nests,
                    options, input_type, type_scoped_ctx, frame_expansion):
     """Inner key loop of the Expansion Algorithm (spec §5.1.2 step 13;
     cf. reference _expandObject expand.js:452-1040)."""
+    unexpanded_value = None  # raw @value, for the deferred shape check
     for key in sorted(element.keys()):
         if key == "@context":
             continue
@@ -421,20 +422,21 @@ def _expand_object(active_ctx, active_property, element, result, nests,
             continue
 
         if expanded_property == "@value":
-            if input_type == "@json":
-                if active_ctx.processing_mode == "json-ld-1.0":
-                    raise JsonLdError("@json requires JSON-LD 1.1.",
-                                      "invalid value object value")
+            # capture the RAW value; shape validation is DEFERRED to
+            # the end of the key loop (expand.js:695-709 just stores,
+            # expand.js:1002-1014 validates) so a later key — e.g. a
+            # reverse property with a bad item — throws FIRST with its
+            # own code (fuzz seed 808). In 1.0 mode @type:@json is not
+            # special: the stored '@json' fails the absolute-IRI test
+            # later as 'invalid typed value' (expand.js:326-333)
+            unexpanded_value = value
+            if (input_type == "@json"
+                    and active_ctx.processing_mode != "json-ld-1.0"):
+                # no array coercion, retain all values
                 result["@value"] = value
-            elif value is None or is_scalar(value):
-                result["@value"] = value
-            elif frame_expansion and isinstance(value, (dict, list)):
-                result["@value"] = value if isinstance(value, list) \
-                    else [value]
             else:
-                raise JsonLdError(
-                    "@value value must be a scalar or null.",
-                    "invalid value object value")
+                _add_value_js(result, "@value", value,
+                              property_is_array=frame_expansion)
             continue
 
         if expanded_property == "@language":
@@ -644,6 +646,39 @@ def _expand_object(active_ctx, active_property, element, result, nests,
             ev = expanded_value if isinstance(expanded_value, list) \
                 else [expanded_value]
             result.setdefault(expanded_property, []).extend(ev)
+
+    # deferred @value shape check (expand.js:1002-1014): runs AFTER the
+    # whole key loop; any value is allowed under 1.1 @type:@json (the
+    # stored @type is a SCALAR '@json' per addValue collapse), frames
+    # allow objects/arrays
+    if "@value" in result:
+        if (result.get("@type") == "@json"
+                and active_ctx.processing_mode != "json-ld-1.0"):
+            pass
+        elif (isinstance(unexpanded_value, (dict, list))
+              and not frame_expansion):
+            raise JsonLdError(
+                '"@value" value must not be an object or an array.',
+                "invalid value object value")
+
+
+def _add_value_js(subject: dict, prop: str, value,
+                  property_is_array: bool = False):
+    """util.js addValue with allowDuplicate=true defaults
+    (util.js:246-298): arrays add element-wise (an empty array under
+    propertyIsArray pins []), an existing entry converts to an array
+    and appends, a fresh scalar stores bare unless propertyIsArray."""
+    if isinstance(value, list):
+        if not value and property_is_array and prop not in subject:
+            subject[prop] = []
+        for v in value:
+            _add_value_js(subject, prop, v, property_is_array)
+    elif prop in subject:
+        if not isinstance(subject[prop], list):
+            subject[prop] = [subject[prop]]
+        subject[prop].append(value)
+    else:
+        subject[prop] = [value] if property_is_array else value
 
 
 def _expand_type(type_scoped_ctx, value, result, options, frame_expansion):

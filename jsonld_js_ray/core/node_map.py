@@ -242,9 +242,10 @@ def create_node_map(element, graph_map: dict, active_graph: str,
                     # (nodeMap.js:123-135, util.js:275) — mirrored as
                     # a typed error (merge fuzz seed 142)
                     raise JsonLdError(
-                        "Invalid @reverse map entry "
-                        f"{rprop!r}: value is not an array.",
-                        "invalid reverse value")
+                        "Cannot read properties of undefined (reading "
+                        "'hasOwnProperty') (reference TypeError: "
+                        f"non-array @reverse map entry {rprop!r})",
+                        "TypeError parity")
                 for value in values:
                     create_node_map(value, graph_map, active_graph,
                                     issuer, referenced, rprop)

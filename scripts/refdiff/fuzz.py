@@ -758,12 +758,25 @@ def run_mine(op: str, doc, options: dict):
         return {"errorCode": "recursion"}
 
 
-def compare(op, ref, mine):
+def compare(op, ref, mine, strict_codes: bool = True):
     if "errorCode" in ref or "errorCode" in mine:
-        # fuzz compares error PRESENCE, not code strings (reference
-        # codes for generator-made invalid shapes vary / fall back to
-        # messages)
-        return ("errorCode" in ref) == ("errorCode" in mine)
+        if ("errorCode" in ref) != ("errorCode" in mine):
+            return False
+        if not strict_codes:
+            return True
+        rc, mc = ref["errorCode"], mine["errorCode"]
+        if mc == "TypeError parity" or mc == "recursion":
+            # mirrored raw crashes carry the reference's free-text
+            # message, not a spec code; recursion depth differs by host
+            return True
+        if op == "merge":
+            # jsonld.merge expands all docs under Promise.all
+            # (jsonld.js:791-795): when SEVERAL docs error, the code
+            # that surfaces is whichever rejection lands first in V8
+            # microtask order — a scheduling artifact, not semantics
+            return True
+        # spec error CODES must agree, not just presence
+        return rc == mc
     if op == "toRDF":
         try:
             return (canonize_nquads(parse_nquads(mine["result"]))

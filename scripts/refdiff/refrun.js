@@ -123,6 +123,10 @@ async function run(req) {
       }
       cur = cur.details && cur.details.cause;
     }
+    // code-less JsonLdErrors (e.g. frame.js:447-450 'must be a single
+    // object') fall back to the jsonld.* type name so strict code
+    // comparison can still match; raw crashes keep their message
+    if(!code && String(e.name).startsWith('jsonld.')) code = e.name;
     return {errorCode: code || String(e.message)};
   }
 }
