@@ -24,9 +24,18 @@ from .core.resolver import ContextResolver
 from .core.to_rdf import to_rdf as _to_rdf
 
 
-def _opts(options: Optional[dict]) -> dict:
+def _opts(options: Optional[dict], default_base: str = "") -> dict:
     o = dict(options or {})
-    o.setdefault("base", None)
+    # the reference's OMITTED-base default is the EMPTY base '' (every
+    # public fn sets `base: _isString(input) ? input : ''`,
+    # jsonld.js:149,312,371,421,737) — empty-base RESOLUTION, not the
+    # null short-circuit a user gets with an explicit base: null.
+    # _base_set records whether base was pinned (by the user or by a
+    # string-input URL default): only a fully-unset base lets a remote
+    # document's redirected documentUrl take over in expand
+    # (jsonld.js:311-314)
+    o["_base_set"] = "base" in o or default_base != ""
+    o.setdefault("base", default_base)
     o.setdefault("processingMode", "json-ld-1.1")
     if "context_resolver" not in o:
         # reference option surface (jsonld.js:81-108): ``documentLoader``
@@ -45,7 +54,8 @@ def expand(document, options: Optional[dict] = None) -> list:
 
 
 def flatten(document, ctx=None, options: Optional[dict] = None):
-    options = _opts(options)
+    options = _opts(options,
+                    document if isinstance(document, str) else "")
     expanded = expand_document(document, options)
     flattened = flatten_expanded(expanded)
     if ctx is None:
@@ -56,6 +66,8 @@ def flatten(document, ctx=None, options: Optional[dict] = None):
 
 def to_rdf(document, options: Optional[dict] = None) -> list:
     """Document → quads. Pass ``skipExpansion`` to treat input as expanded."""
+    # toRDF/canonize do NOT pin a base default (jsonld.js:679-689) —
+    # they delegate to expand, so a redirected documentUrl wins
     options = _opts(options)
     if options.get("skipExpansion"):
         expanded = document
@@ -171,7 +183,8 @@ def link(document, ctx=None, options: Optional[dict] = None):
     wildcard frame and ``@embed: '@link'``
     (cf. reference jsonld.js:513-522)."""
     from .core.frame import frame_document
-    options = _opts(options)
+    options = _opts(options,
+                    document if isinstance(document, str) else "")
     # mirror jsonld.js:513-522 exactly: the @embed flag rides IN the
     # wildcard frame (not options.embed), and the ctx check is JS
     # truthiness (`if(ctx)`) — note {} is TRUTHY in JS
@@ -189,7 +202,8 @@ def compact(document, ctx, options: Optional[dict] = None):
         # reference jsonld.js:136-140
         raise JsonLdError("The compaction context must not be null.",
                           "invalid local context")
-    options = _opts(options)
+    options = _opts(options,
+                    document if isinstance(document, str) else "")
     if options.get("compactToRelative") is False:
         # the reference DELETES options.base (jsonld.js:164-165) — and
         # the deleted state lands DIFFERENTLY on the two phases:
@@ -204,7 +218,8 @@ def compact(document, ctx, options: Optional[dict] = None):
         #   symmetrically with expansion; fuzz seeds 240, 542, 1332).
         #   compact_iri encodes the null-relativization rule for the
         #   "" sentinel.
-        options["base"] = ""
+        from .core.url import DELETED_BASE
+        options["base"] = DELETED_BASE
     if options.get("skipExpansion"):
         # input is already expanded (cf. reference jsonld.js:168-175);
         # used by frame/flatten to avoid a redundant expansion pass
@@ -216,7 +231,24 @@ def compact(document, ctx, options: Optional[dict] = None):
 
 def frame(document, frame_doc, options: Optional[dict] = None):
     from .core.frame import frame_document
-    options = _opts(options)
+    from .core.resolver import load_remote_document
+    options = _opts(options,
+                    document if isinstance(document, str) else "")
+    if isinstance(frame_doc, str):
+        # remote FRAME input (jsonld.js:431-449): dereference, and
+        # inject a Link-header contextUrl into the frame's @context
+        remote = load_remote_document(frame_doc, options)
+        frame_doc = remote["document"]
+        if remote["contextUrl"]:
+            ctx = (frame_doc.get("@context")
+                   if isinstance(frame_doc, dict) else None)
+            if not ctx:
+                ctx = remote["contextUrl"]
+            elif isinstance(ctx, list):
+                ctx = ctx + [remote["contextUrl"]]
+            else:
+                ctx = [ctx, remote["contextUrl"]]
+            frame_doc["@context"] = ctx
     return frame_document(document, frame_doc, options)
 
 

@@ -18,7 +18,7 @@ from .keywords import (
     is_subject_reference, is_value,
 )
 from .node_map import add_value
-from .url import remove_base
+from .url import DeletedBase, remove_base
 
 
 def _shortest_least(a: str) -> tuple:
@@ -409,12 +409,15 @@ def compact_iri(active_ctx: ActiveContext, iri: Optional[str],
                 rel = "./" + rel
             return rel
         eff = active_ctx.base if active_ctx.base is not None else base
-        if eff == "":
+        if isinstance(eff, DeletedBase):
             # the DELETED-base sentinel (compactToRelative=false):
             # the reference's compactIri receives base=null via its
             # destructuring default when options.base is undefined
             # (compact.js:677), so relativization is a no-op — even
-            # though context processing above ran in empty-base mode
+            # though context processing above ran in empty-base mode.
+            # A genuinely EMPTY base ('' — the omitted-base default)
+            # instead falls through and RELATIVIZES via remove_base
+            # ('//net.example/x' -> 'x'; fuzz seed 225)
             return iri
         if eff is not None:
             return remove_base(eff, iri)

@@ -43,8 +43,10 @@ def _drop_unsafe_object(v, options, frame_expansion=False):
         emit_event(options, "object with only @list",
                    "Dropping object with only @list.")
         return None
-    if len(v) == 1 and "@id" in v \
-            and not options.get("keepFreeFloatingNodes"):
+    if len(v) == 1 and "@id" in v:
+        # keepFreeFloatingNodes gates the CALL SITE (expand.js:372-381),
+        # not this check — the graph-wrap filter (expand.js:961-964)
+        # drops @id-only items even under keepFreeFloatingNodes
         emit_event(options, "object with only @id",
                    "Dropping object with only @id.")
         return None
@@ -283,10 +285,20 @@ def _post_process(active_ctx, active_property, element, result, options,
         if active_property is not None:
             _ap_container = (active_ctx.mappings.get(active_property)
                              or {}).get("@container") or []
-        if (active_property is None or active_property == "@graph"
-                or expand_iri(active_ctx, active_property,
-                              vocab_mode=True, options=options) == "@graph"
-                or "@graph" in _ap_container):
+        # the whole check is additionally gated on NOT being inside a
+        # list and on keepFreeFloatingNodes being unset
+        # (expand.js:372-381): a @value/@list item INSIDE a list under
+        # a @graph-container property survives this site — the
+        # graph-wrap filter is the one that drops the outer list object
+        # (fuzz seed 9643: one 'object with only @list' event, not an
+        # inner 'only @value' + 'empty object' pair)
+        if (not inside_list
+                and not options.get("keepFreeFloatingNodes")
+                and (active_property is None or active_property == "@graph"
+                     or expand_iri(active_ctx, active_property,
+                                   vocab_mode=True,
+                                   options=options) == "@graph"
+                     or "@graph" in _ap_container)):
             if not frame_expansion:
                 return _drop_unsafe_object(return_val, options)
     return return_val
@@ -958,13 +970,32 @@ def expand_document(document, options: dict) -> list:
     """
     from .context import initial_context
     options = dict(options)
-    options.setdefault("base", None)
+    # the omitted-base default is the EMPTY base (empty-base
+    # resolution), matching the reference's '' defaults — not None,
+    # which models a user's explicit base: null
+    options.setdefault("base", "")
+    remote_context_url = None
+    if isinstance(document, str):
+        # remote-document input (jsonld.js:295-314): dereference via
+        # the loader; the retrieved documentUrl becomes the default
+        # base (redirect-sensitive) UNLESS base was already pinned, and
+        # a Link-header contextUrl is processed as a context AFTER
+        # expandContext and BEFORE the document
+        from .resolver import load_remote_document
+        remote = load_remote_document(document, options)
+        if not options.get("_base_set"):
+            options["base"] = remote["documentUrl"] or ""
+        remote_context_url = remote["contextUrl"]
+        document = remote["document"]
     active_ctx = initial_context(options)
     if options.get("expandContext") is not None:
         ec = options["expandContext"]
         if isinstance(ec, dict) and "@context" in ec:
             ec = ec["@context"]
         active_ctx = process_context(active_ctx, ec, options)
+    if remote_context_url is not None:
+        active_ctx = process_context(active_ctx, remote_context_url,
+                                     options)
     expanded = expand(active_ctx, None, document, options)
     # post: unwrap lone @graph, normalize to array
     if isinstance(expanded, dict) and "@graph" in expanded \

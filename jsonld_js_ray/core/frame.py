@@ -45,13 +45,6 @@ def frame_document(document, frame_doc, options: dict):
     frame_opts = dict(options)
     frame_opts["isFrame"] = True
     expanded_frame = expand_document(frame_doc, frame_opts)
-    # the expanded frame must be a single node object, with valid
-    # @id/@type patterns (frame.js:78 via _validateFrame)
-    if len(expanded_frame) != 1:
-        raise JsonLdError(
-            "Invalid JSON-LD syntax; a JSON-LD frame must be a single "
-            "object.", "jsonld.SyntaxError")
-    _validate_frame_object(expanded_frame[0])
 
     # if the unexpanded frame includes a key expanding to @graph, frame
     # the default graph, otherwise the merged graph
@@ -79,6 +72,17 @@ def frame_document(document, frame_doc, options: dict):
     # node-pattern matching resolves against the INITIAL graph's
     # subject map even inside named-graph recursion (frame.js:50)
     state["subjects"] = graph_map[state["graph"]]
+
+    # frame validation runs AFTER node-map construction: the reference
+    # validates inside api.frame (frame.js:77-78), which
+    # frameMergedOrDefault only reaches once _createNodeMap succeeded —
+    # a 'conflicting indexes' document preempts an invalid frame
+    # (fuzz seed 4954)
+    if len(expanded_frame) != 1:
+        raise JsonLdError(
+            "Invalid JSON-LD syntax; a JSON-LD frame must be a single "
+            "object.", "jsonld.SyntaxError")
+    _validate_frame_object(expanded_frame[0])
 
     results: list = []
     _match_frame(state, sorted(state["graphMap"][state["graph"]].keys()),

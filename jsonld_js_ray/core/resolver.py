@@ -34,6 +34,44 @@ class LruCache:
             self._d.popitem(last=False)
 
 
+def load_remote_document(url: str, options: dict) -> dict:
+    """jsonld.get (reference jsonld.js:888-918): dereference a remote
+    DOCUMENT via the ``documentLoader`` hook (or the offline
+    ``contexts`` snapshot), returning ``{document, documentUrl,
+    contextUrl}``. Loader errors propagate raw (the reference awaits
+    the loader OUTSIDE its try); a falsy or unparseable document is
+    'loading document failed'."""
+    import json as _json
+    loader = options.get("documentLoader")
+    if loader is not None:
+        raw = loader(url)
+    else:
+        snapshot = options.get("contexts") or {}
+        if url not in snapshot:
+            raise JsonLdError(
+                f"URL could not be dereferenced: {url!r}",
+                "loading document failed")
+        raw = snapshot[url]
+    document_url, context_url, doc = url, None, raw
+    if isinstance(raw, dict) and "document" in raw \
+            and "documentUrl" in raw:
+        # RemoteDocument shape (possibly redirected / Link-discovered)
+        document_url = raw.get("documentUrl") or url
+        context_url = raw.get("contextUrl") or None
+        doc = raw["document"]
+    try:
+        if not doc:
+            raise ValueError("no remote document")
+        if isinstance(doc, str):
+            doc = _json.loads(doc)
+    except Exception as e:
+        raise JsonLdError(
+            f"Could not retrieve a JSON-LD document from the URL: "
+            f"{url!r}", "loading document failed") from e
+    return {"document": doc, "documentUrl": document_url,
+            "contextUrl": context_url}
+
+
 class ContextResolver:
     """Resolves ``@context`` URLs from an in-memory snapshot.
 

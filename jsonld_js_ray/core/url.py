@@ -23,6 +23,19 @@ _URL_RE = re.compile(
     r"(\?([^#]*))?(#(.*))?$")
 
 
+class DeletedBase(str):
+    """Sentinel for the reference's DELETED ``options.base``
+    (compactToRelative=false, jsonld.js:164-165). It compares equal to
+    ``""`` so every empty-base RESOLUTION path treats it as the empty
+    base, but compaction's relativization distinguishes it: a deleted
+    base reaches compactIri as undefined -> null (compact.js:677,
+    no-op), while a genuinely EMPTY base ('' — the omitted-base default
+    of compact/flatten/frame) actively relativizes via removeBase."""
+
+
+DELETED_BASE = DeletedBase("")
+
+
 class ParsedUrl:
     __slots__ = ("scheme", "authority", "path", "query", "fragment",
                  "has_authority", "has_query", "has_fragment")

@@ -42,7 +42,7 @@ class _DocStage:
     def _opts(self):
         o = dict(self.options)
         o.setdefault("processingMode", "json-ld-1.1")
-        o.setdefault("base", None)
+        o.setdefault("base", "")
         o["context_resolver"] = ContextResolver(self.snapshot)
         return o
 

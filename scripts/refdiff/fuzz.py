@@ -479,8 +479,16 @@ def gen_op_options(seed: int, op: str) -> dict:
     # base — mixing bases across ops of one seed in one node process
     # replays the first op's base into later ops (a cache artifact of
     # the batch harness, not kernel semantics)
-    if random.Random(seed * 97 + 13).random() < 0.08:
+    _base_r = random.Random(seed * 97 + 13).random()
+    if _base_r < 0.08:
         opts["base"] = None
+    elif _base_r < 0.14:
+        # OMITTED base: the reference default is the EMPTY base ''
+        # (empty-base RESOLUTION — 'rel/../dot' -> 'dot'), a third
+        # state besides an explicit null and a string
+        # (jsonld.js:149,312,371,421; _omit_base is stripped by main
+        # on BOTH sides so no 'base' key reaches either engine)
+        opts["_omit_base"] = True
     if rng.random() < 0.15:
         opts["processingMode"] = "json-ld-1.0"
     if rng.random() < 0.1:
@@ -680,6 +688,54 @@ def gen_remote_case(seed: int) -> tuple[dict, dict]:
     return doc, snapshot
 
 
+def gen_remote_doc_case(seed: int):
+    """remote-INPUT-document leg: the API input is a URL string; the
+    snapshot carries the document — plain, documentUrl-REDIRECTED
+    (jsonld.expand's default base follows the redirect,
+    jsonld.js:295-314), Link-header contextUrl on the DOCUMENT itself
+    (processed as a context before the doc), or a STRING payload
+    (jsonld.get JSON-parses it, jsonld.js:902-906).
+    Returns (url, doc, frame_ref, snapshot, withbase)."""
+    rng = random.Random(seed * 163 + 41)
+    doc, snapshot = gen_remote_case(seed)
+    if rng.random() < 0.6:
+        # a relative @id makes the base semantics observable
+        doc["@id"] = rng.choice(
+            ["rel/x", "../up", "#frag", "./", "b:c"])
+    url = f"https://fuzz.example/docs/d{seed}.jsonld"
+    r = rng.random()
+    if r < 0.35:
+        snapshot[url] = doc
+    elif r < 0.6:
+        snapshot[url] = {
+            "document": doc,
+            "documentUrl": f"https://moved.example/m{seed % 5}/doc"}
+    elif r < 0.8:
+        snapshot[url] = {
+            "document": doc, "documentUrl": url,
+            "contextUrl": CTX_BASE + f"leaf{seed % 7}"}
+    else:
+        snapshot[url] = {"document": json.dumps(doc),
+                         "documentUrl": url}
+    # frame input may itself be a URL (jsonld.js:431-449): 50% direct
+    # dict, 35% plain URL, 15% URL with a Link-header contextUrl
+    frame = gen_frame(seed, doc)
+    fr = rng.random()
+    if fr < 0.5:
+        frame_ref: object = frame
+    else:
+        frame_url = f"https://fuzz.example/frames/f{seed}.jsonld"
+        if fr < 0.85:
+            snapshot[frame_url] = frame
+        else:
+            snapshot[frame_url] = {
+                "document": frame, "documentUrl": frame_url,
+                "contextUrl": CTX_BASE + f"leaf{seed % 7}"}
+        frame_ref = frame_url
+    # half the seeds pin an explicit base (documentUrl must NOT win)
+    return url, doc, frame_ref, snapshot, rng.random() < 0.5
+
+
 def decycle(v, path: set):
     """Mirror of refrun.js decycle: replace any value that is its own
     ancestor (a @link cycle) with a marker carrying its raw '@id'
@@ -792,11 +848,15 @@ def compare(op, ref, mine, strict_codes: bool = True):
 
 def main_remote(n: int, start: int):
     """--remote mode: remote-context composition fuzzing (snapshot
-    loader on both sides)."""
+    loader on both sides), plus the remote-INPUT-document arm (the API
+    input is a URL; expand's default base follows documentUrl
+    redirects, every other op bases on the INPUT url)."""
     ops = ["expand", "flatten", "toRDF", "compact", "frame"]
+    doc_ops = ["expand", "flatten", "toRDF", "compact", "frame"]
     base = "https://fuzz.example/doc.jsonld"
     seeds = list(range(start, start + n))
     cases = {s: gen_remote_case(s) for s in seeds}
+    doc_cases = {s: gen_remote_doc_case(s) for s in seeds}
     reqs = []
     for s in seeds:
         doc, snapshot = cases[s]
@@ -807,6 +867,16 @@ def main_remote(n: int, start: int):
                 req["context"] = doc["@context"]
             elif op == "frame":
                 req["frame"] = gen_frame(s, doc)
+            reqs.append(req)
+        url, ddoc, frame_ref, dsnap, withbase = doc_cases[s]
+        for op in doc_ops:
+            req = {"op": op, "input": url,
+                   "options": ({"base": base} if withbase else {}),
+                   "contexts": dsnap}
+            if op == "compact":
+                req["context"] = ddoc["@context"]
+            elif op == "frame":
+                req["frame"] = frame_ref
             reqs.append(req)
     refs = run_reference(reqs)
     n_match = n_diff = 0
@@ -828,8 +898,27 @@ def main_remote(n: int, start: int):
                 print(f"DIVERGE seed={s} op={op} (remote)")
                 print("  ref :", json.dumps(ref, sort_keys=True)[:400])
                 print("  mine:", json.dumps(mine, sort_keys=True)[:400])
+        url, ddoc, frame_ref, dsnap, withbase = doc_cases[s]
+        for op in doc_ops:
+            ref = refs[i]; i += 1
+            opts = {"contexts": dsnap}
+            if withbase:
+                opts["base"] = base
+            if op == "compact":
+                opts["_ctx"] = ddoc["@context"]
+            elif op == "frame":
+                opts["_frame"] = frame_ref
+            mine = run_mine(op, url, opts)
+            if compare(op, ref, mine):
+                n_match += 1
+            else:
+                n_diff += 1
+                print(f"DIVERGE seed={s} op={op} (remote-doc"
+                      f"{' +base' if withbase else ''})")
+                print("  ref :", json.dumps(ref, sort_keys=True)[:400])
+                print("  mine:", json.dumps(mine, sort_keys=True)[:400])
     print(f"{n_match} match, {n_diff} diverge "
-          f"({n} docs x {len(ops)} remote-ctx ops, "
+          f"({n} docs x {len(ops)}+{len(doc_ops)} remote ops, "
           f"seeds {start}..{start + n - 1})")
     sys.exit(1 if n_diff else 0)
 
@@ -870,6 +959,8 @@ def main():
     for s in seeds:
         for op in ops:
             op_opts = {"base": base, **gen_op_options(s, op)}
+            if op_opts.pop("_omit_base", False):
+                op_opts.pop("base", None)
             if op == "compact":
                 # round-trip: compact the document back onto its own
                 # context (reference compact expands internally)
@@ -962,6 +1053,8 @@ def main():
                 continue
             ref = refs[i]; i += 1
             opts = {"base": base, **gen_op_options(s, op)}
+            if opts.pop("_omit_base", False):
+                opts.pop("base", None)
             if op == "compact":
                 opts["_ctx"] = docs[s]["@context"]
             elif op == "compactX":

@@ -165,3 +165,98 @@ def test_resolver_appends_link_discovered_context():
     out = api.expand({"@context": CTX_URL, "name": "alice"},
                      {"contextResolver": resolver})
     assert out == [{"http://x.example/name": [{"@value": "alice"}]}]
+
+
+# ---- remote-document INPUT (jsonld.js:295-314, 888-918) ----------------
+
+DOCS_URL = "https://site.example/docs/input.jsonld"
+
+
+def test_expand_remote_document_input_documentUrl_base():
+    """A string input dereferences via the loader; with NO base option
+    the redirected documentUrl becomes the base (jsonld.js:311-314)."""
+    snap = {DOCS_URL: {
+        "document": {"@id": "child", "http://v/p": "v"},
+        "documentUrl": "https://moved.example/dir/doc"}}
+    out = api.expand(DOCS_URL, {"contexts": snap})
+    assert out == [{"@id": "https://moved.example/dir/child",
+                    "http://v/p": [{"@value": "v"}]}]
+    # an explicit base PINS: documentUrl must not win
+    out = api.expand(DOCS_URL, {"contexts": snap,
+                                "base": "https://pin.example/b/"})
+    assert out[0]["@id"] == "https://pin.example/b/child"
+
+
+def test_compact_remote_input_bases_on_input_url_not_redirect():
+    """compact/flatten/frame default base to the INPUT url
+    (jsonld.js:149,371,421), so a redirect does NOT change the base."""
+    snap = {DOCS_URL: {
+        "document": {"@id": "child", "http://v/p": "v"},
+        "documentUrl": "https://moved.example/dir/doc"}}
+    out = api.compact(DOCS_URL, {}, {"contexts": snap})
+    assert out["@id"] == "child"  # relativized against the input url
+    flat = api.flatten(DOCS_URL, None, {"contexts": snap})
+    assert flat[0]["@id"] == "https://site.example/docs/child"
+
+
+def test_remote_document_string_payload_and_link_context():
+    """String payloads JSON-parse (jsonld.get, jsonld.js:902-906); a
+    Link-header contextUrl on the DOCUMENT is processed as a context
+    before the document's own."""
+    import json as _json
+    ctx_url = "https://site.example/linkctx.jsonld"
+    snap = {
+        DOCS_URL: {
+            "document": _json.dumps({"name": "alice"}),
+            "documentUrl": DOCS_URL, "contextUrl": ctx_url},
+        ctx_url: {"@context": {"name": "http://x.example/name"}},
+    }
+    out = api.expand(DOCS_URL, {"contexts": snap})
+    assert out == [{"http://x.example/name": [{"@value": "alice"}]}]
+
+
+def test_remote_frame_input_with_link_context():
+    """A string FRAME dereferences too; its Link contextUrl is injected
+    into the frame's @context (jsonld.js:431-449)."""
+    frame_url = "https://site.example/frame.jsonld"
+    ctx_url = "https://site.example/fctx.jsonld"
+    snap = {
+        frame_url: {
+            "document": {"@type": "http://t.example/T"},
+            "documentUrl": frame_url, "contextUrl": ctx_url},
+        ctx_url: {"@context": {"nm": "http://x.example/nm"}},
+    }
+    doc = {"@id": "urn:a", "@type": "http://t.example/T",
+           "http://x.example/nm": "z"}
+    out = api.frame(doc, frame_url, {"contexts": snap})
+    assert out["nm"] == "z"  # linked context compacted the property
+
+
+def test_remote_document_load_failures():
+    with pytest.raises(JsonLdError) as e:
+        api.expand("https://nowhere.example/x", {"contexts": {}})
+    assert e.value.code == "loading document failed"
+    # unparseable string payload
+    snap = {DOCS_URL: {"document": "{not json", "documentUrl": DOCS_URL}}
+    with pytest.raises(JsonLdError) as e:
+        api.expand(DOCS_URL, {"contexts": snap})
+    assert e.value.code == "loading document failed"
+
+
+def test_omitted_base_is_empty_base_not_null():
+    """The omitted-base default is the EMPTY base: dot segments
+    resolve ('rel/../dot' -> 'dot') and compaction RELATIVIZES
+    network-path references — unlike an explicit base: null, which
+    keeps IRIs verbatim (jsonld.js:149,312; url.js empty-base mode)."""
+    assert api.expand({"@id": "rel/../dot#f", "http://x/p": "v"})[0][
+        "@id"] == "dot#f"
+    assert api.expand({"@id": "rel/../dot#f", "http://x/p": "v"},
+                      {"base": None})[0]["@id"] == "rel/../dot#f"
+    # '' relativization at compaction: //net -> authority stripped
+    out = api.compact({"@id": "//net.example/x", "http://x/p": "v"}, {})
+    assert out["@id"] == "x"
+    # compactToRelative=false is the DELETED state: resolution still
+    # runs in empty-base mode but relativization is a no-op
+    out = api.compact({"@id": "//net.example/x", "http://x/p": "v"}, {},
+                      {"compactToRelative": False})
+    assert out["@id"] == "//net.example/x"
