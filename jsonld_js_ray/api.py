@@ -119,6 +119,46 @@ def from_rdf(dataset, options: Optional[dict] = None):
     return from_rdf_quads(dataset, options)
 
 
+def get(url: str, options: Optional[dict] = None) -> dict:
+    """Dereference a remote document (reference jsonld.get,
+    jsonld.js:888-918): returns the RemoteDocument shape
+    ``{document, documentUrl, contextUrl}`` with string payloads
+    JSON-parsed and failures wrapped as 'loading document failed'."""
+    from .core.resolver import load_remote_document
+    return load_remote_document(url, _opts(options))
+
+
+def process_context_api(active_ctx, local_ctx,
+                        options: Optional[dict] = None):
+    """Public processContext (reference jsonld.js:920-941): a null
+    local context returns a fresh initial context; anything else is
+    wrapped as {'@context': ...} and processed against ``active_ctx``.
+    The omitted-base default is '' like the reference's."""
+    options = _opts(options)
+    if active_ctx is None:
+        active_ctx = initial_context(options)
+    if local_ctx is None:
+        return initial_context(options)
+    if not (isinstance(local_ctx, dict) and "@context" in local_ctx):
+        local_ctx = {"@context": local_ctx}
+    return process_context(active_ctx, local_ctx, options)
+
+
+def create_node_map_api(document, options: Optional[dict] = None) -> dict:
+    """Public createNodeMap (reference jsonld.js:730-748 →
+    nodeMap.js:24-35 createMergedNodeMap): expand, build the graph
+    map with a fresh ``_:b`` issuer (or ``options['issuer']``), and
+    merge all named graphs into the default graph."""
+    from .core.node_map import create_node_map, merge_node_maps
+    options = _opts(options,
+                    document if isinstance(document, str) else "")
+    expanded = expand_document(document, options)
+    issuer = options.get("issuer") or IdentifierIssuer("_:b")
+    graph_map: dict = {"@default": {}}
+    create_node_map(expanded, graph_map, "@default", issuer)
+    return merge_node_maps(graph_map)
+
+
 def merge(docs: list, ctx=None, options: Optional[dict] = None):
     """Merge multiple JSON-LD documents into one flattened document
     (cf. reference jsonld.js:770-857): expand each, relabel blank nodes

@@ -469,3 +469,37 @@ def test_wav_stdlib_roundtrip_and_chunker():
         assert n == -(-frames // (8000 * 500 // 1000))
     rms = np.array(out.column("rms").to_pylist())
     assert (rms > 0).all() and (rms < 2 ** 15).all()
+
+
+def test_public_get_process_context_create_node_map():
+    """The remaining public surface trio (jsonld.js:888-941, 730-748):
+    get() returns the RemoteDocument shape with string payloads parsed;
+    processContext(null) is the initial context; createNodeMap merges
+    named graphs Reference-style (graph content stays under the graph
+    node's @graph, inner nodes are not lifted). Expected values probed
+    from the reference under node."""
+    out = api.get("https://a.example/d", {"contexts": {
+        "https://a.example/d": {"document": '{"x": 1}',
+                                "documentUrl": "https://b.example/"}}})
+    assert out == {"document": {"x": 1},
+                   "documentUrl": "https://b.example/",
+                   "contextUrl": None}
+
+    initial = api.process_context_api(None, None, {})
+    assert initial.mappings == {}
+    ctx = api.process_context_api(initial, {"t": "http://x/t"}, {})
+    assert ctx.mappings["t"]["@id"] == "http://x/t"
+    # null context resets to initial even from a non-empty context
+    assert api.process_context_api(ctx, None, {}).mappings == {}
+
+    doc = {"@context": {"p": "http://x/p"}, "@id": "_:a",
+           "p": {"@id": "urn:b", "p": "v"},
+           "@graph": [{"@id": "urn:g", "p": 1}]}
+    nm = api.create_node_map_api(doc)
+    assert nm == {
+        "_:b0": {"@graph": [{"@id": "urn:g",
+                             "http://x/p": [{"@value": 1}]}],
+                 "@id": "_:b0",
+                 "http://x/p": [{"@id": "urn:b"}]},
+        "urn:b": {"@id": "urn:b",
+                  "http://x/p": [{"@value": "v"}]}}
