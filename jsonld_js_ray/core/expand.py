@@ -351,8 +351,11 @@ def _expand_object(active_ctx, active_property, element, result, nests,
                 expanded = expand_iri(active_ctx, value, base_mode=True,
                                       options=options)
                 if (expanded is not None and not is_absolute_iri(expanded)
-                        and not expanded.startswith("_:")
-                        and not options.get("isFrame")):
+                        and not expanded.startswith("_:")):
+                    # NO isFrame gate (expand.js:595-608): a relative
+                    # frame @id pattern emits the event too — under
+                    # safe mode it errors BEFORE _validateFrame gets to
+                    # reject the pattern (fuzz seed 9394)
                     emit_event(options, "relative @id reference",
                                f"Relative @id reference: {expanded!r}")
                 # frame mode: the explicit @id KEY expands to an ARRAY
@@ -370,8 +373,20 @@ def _expand_object(active_ctx, active_property, element, result, nests,
                     if not isinstance(v, str):
                         raise JsonLdError("@id must be a string (frame).",
                                           "invalid @id value")
-                    ids.append(expand_iri(active_ctx, v, base_mode=True,
-                                          options=options))
+                    ve = expand_iri(active_ctx, v, base_mode=True,
+                                    options=options)
+                    # same per-item event logic as the scalar branch
+                    # (the reference maps _asArray(value) uniformly,
+                    # expand.js:558-614)
+                    if is_keyword_like(v) and not is_keyword(v):
+                        emit_event(options, "reserved @id value",
+                                   f"@id value {v!r} is reserved.")
+                        ve = None
+                    elif (ve is not None and not is_absolute_iri(ve)
+                          and not ve.startswith("_:")):
+                        emit_event(options, "relative @id reference",
+                                   f"Relative @id reference: {ve!r}")
+                    ids.append(ve)
                 result["@id"] = ids
             else:
                 raise JsonLdError("@id value must be a string.",
