@@ -982,8 +982,16 @@ def compact_document(expanded, ctx, options: dict, from_flatten=False):
             alias = compact_iri(active_ctx, "@graph",
                                 relative_to_vocab=True)
             compacted = {alias: compacted}
-    if ctx_value is not None and (
-            not isinstance(ctx_value, (dict, list)) or len(ctx_value) > 0):
-        if isinstance(compacted, dict):
-            compacted = {"@context": ctx_value, **compacted}
+    # output-context assembly (jsonld.js:205-245): arrayify, drop
+    # EMPTY OBJECT entries (null/string entries are KEPT), then
+    # collapse a single-entry array back to its element — so a
+    # wrapper ctx {'@context': [X]} emits X, and [{}] emits nothing
+    if ctx_value is not None and isinstance(compacted, dict):
+        entries = (ctx_value if isinstance(ctx_value, list)
+                   else [ctx_value])
+        entries = [e for e in entries
+                   if not isinstance(e, dict) or len(e) > 0]
+        if entries:
+            out_ctx = entries[0] if len(entries) == 1 else entries
+            compacted = {"@context": out_ctx, **compacted}
     return compacted

@@ -294,7 +294,17 @@ _CTX_CORRUPTIONS = [
     lambda rng: ("alpha", {"@id": "http://c.example/a",
                            "@index": rng.choice([5, "notiri-rel"])}),
     lambda rng: ("alpha", {"@id": "http://c.example/a",
-                           "@protected": "yes"})]
+                           "@protected": "yes"}),
+    # '@context' KEY inside a context object: the wrapper DEREFERENCES
+    # to that value at the top level (array / JS-truthy) or per element
+    # (unconditional, must then be a plain object) — context.js:57-61,
+    # 148-157, ContextResolver.js:35-37
+    lambda rng: ("@context", rng.choice(
+        [5, None, 0, "", False, True, [],
+         {"inner": "http://c.example/inner"},
+         [{"inner2": "http://c.example/inner2"}],
+         {"@context": {"deep": "http://c.example/deep"}},
+         "http://nonexistent.example/ctx"]))]
 
 
 _FRAME_CORRUPTIONS = [
