@@ -742,8 +742,14 @@ def gen_remote_doc_case(seed: int):
                 "document": frame, "documentUrl": frame_url,
                 "contextUrl": CTX_BASE + f"leaf{seed % 7}"}
         frame_ref = frame_url
-    # half the seeds pin an explicit base (documentUrl must NOT win)
-    return url, doc, frame_ref, snapshot, rng.random() < 0.5
+    # half the seeds pin an explicit base (documentUrl must NOT win);
+    # 25% add a REMOTE expandContext URL (resolved via the context
+    # resolver and layered under every op's own context,
+    # jsonld.js:283-292)
+    extra_opts = {}
+    if rng.random() < 0.25:
+        extra_opts["expandContext"] = CTX_BASE + f"leaf{seed % 7}"
+    return url, doc, frame_ref, snapshot, rng.random() < 0.5, extra_opts
 
 
 def decycle(v, path: set):
@@ -878,10 +884,11 @@ def main_remote(n: int, start: int):
             elif op == "frame":
                 req["frame"] = gen_frame(s, doc)
             reqs.append(req)
-        url, ddoc, frame_ref, dsnap, withbase = doc_cases[s]
+        url, ddoc, frame_ref, dsnap, withbase, extra = doc_cases[s]
         for op in doc_ops:
             req = {"op": op, "input": url,
-                   "options": ({"base": base} if withbase else {}),
+                   "options": {**({"base": base} if withbase else {}),
+                               **extra},
                    "contexts": dsnap}
             if op == "compact":
                 req["context"] = ddoc["@context"]
@@ -908,10 +915,10 @@ def main_remote(n: int, start: int):
                 print(f"DIVERGE seed={s} op={op} (remote)")
                 print("  ref :", json.dumps(ref, sort_keys=True)[:400])
                 print("  mine:", json.dumps(mine, sort_keys=True)[:400])
-        url, ddoc, frame_ref, dsnap, withbase = doc_cases[s]
+        url, ddoc, frame_ref, dsnap, withbase, extra = doc_cases[s]
         for op in doc_ops:
             ref = refs[i]; i += 1
-            opts = {"contexts": dsnap}
+            opts = {"contexts": dsnap, **extra}
             if withbase:
                 opts["base"] = base
             if op == "compact":
