@@ -823,6 +823,9 @@ def run_mine(op: str, doc, options: dict):
             return {"result": decycle(
                 api.link(doc, options.get("_ctx"), dict(options)),
                 set())}
+        if op == "nodeMap":
+            return {"result": api.create_node_map_api(doc,
+                                                      dict(options))}
         raise ValueError(op)
     except JsonLdError as e:
         return {"errorCode": e.code}
@@ -949,7 +952,7 @@ def main():
         return
     ops = ["expand", "flatten", "toRDF", "compact", "frame", "fromRDF",
            "compactX", "flattenC", "frameX", "merge", "corrupt",
-           "frameC", "link", "compactE"]
+           "frameC", "link", "compactE", "nodeMap"]
     base = "https://fuzz.example/doc.jsonld"
     seeds = list(range(start, start + n))
     docs = {s: gen_doc(s) for s in seeds}

@@ -95,6 +95,9 @@ async function run(req) {
         result = await jsonld.fromRDF(NQuads.parse(req.input), options);
         break;
       }
+      case 'nodeMap':
+        result = await jsonld.createNodeMap(req.input, options);
+        break;
       case 'merge':
         // input is an ARRAY of documents (jsonld.js:770-857)
         result = await jsonld.merge(
