@@ -871,7 +871,10 @@ def main_remote(n: int, start: int):
     input is a URL; expand's default base follows documentUrl
     redirects, every other op bases on the INPUT url)."""
     ops = ["expand", "flatten", "toRDF", "compact", "frame"]
-    doc_ops = ["expand", "flatten", "toRDF", "compact", "frame"]
+    # merge: jsonld.merge expands every entry, so a URL entry in the
+    # docs ARRAY dereferences like any string input (jsonld.js:791-795)
+    doc_ops = ["expand", "flatten", "toRDF", "compact", "frame",
+               "merge"]
     base = "https://fuzz.example/doc.jsonld"
     seeds = list(range(start, start + n))
     cases = {s: gen_remote_case(s) for s in seeds}
@@ -897,6 +900,8 @@ def main_remote(n: int, start: int):
                 req["context"] = ddoc["@context"]
             elif op == "frame":
                 req["frame"] = frame_ref
+            elif op == "merge":
+                req["input"] = [url, gen_doc(3 * s + 2)]
             reqs.append(req)
     refs = run_reference(reqs)
     n_match = n_diff = 0
@@ -928,6 +933,8 @@ def main_remote(n: int, start: int):
                 opts["_ctx"] = ddoc["@context"]
             elif op == "frame":
                 opts["_frame"] = frame_ref
+            elif op == "merge":
+                opts["_docs"] = [url, gen_doc(3 * s + 2)]
             mine = run_mine(op, url, opts)
             if compare(op, ref, mine):
                 n_match += 1
