@@ -42,6 +42,8 @@ def main():
     doc = fuzz.gen_doc(seed)
     for op in ops:
         op_opts = {"base": base, **fuzz.gen_op_options(seed, op)}
+        if op_opts.pop("_omit_base", False):
+            op_opts.pop("base", None)
         print("OP OPTS:", json.dumps(op_opts))
         req = {"op": op, "input": doc, "options": dict(op_opts)}
         opts = dict(op_opts)
@@ -93,6 +95,31 @@ def main():
             opts["_docs"] = pair
             print("DOC2:", json.dumps(pair[1], indent=1))
             print("MCTX:", json.dumps(mctx, indent=1))
+        elif op == "compactE":
+            exp = fuzz.expanded_for_seed(doc)
+            if exp is None:
+                print(f"seed {seed} compactE: SKIP (doc errors)")
+                continue
+            ectx = (doc["@context"] if seed % 2 == 0
+                    else fuzz.gen_doc(2 * seed + 1)["@context"])
+            req["op"] = "compact"
+            req["input"] = exp
+            req["context"] = ectx
+            req["options"]["skipExpansion"] = True
+            opts["_ctx"] = ectx
+            opts["_expanded"] = exp
+            opts["skipExpansion"] = True
+            print("ECTX:", json.dumps(ectx, indent=1))
+        elif op == "link":
+            lctx = fuzz.link_ctx(seed, {seed: doc},
+                                 {seed: fuzz.gen_doc(
+                                     2 * seed + 1)["@context"]})
+            if lctx is not None:
+                req["context"] = lctx
+            opts["_ctx"] = lctx
+            print("LCTX:", json.dumps(lctx, indent=1))
+        elif op == "nodeMap":
+            pass  # plain input, no extra operands
         elif op in ("frame", "frameX", "frameC"):
             fr = fuzz.gen_frame(
                 seed, fuzz.gen_doc(2 * seed + 1) if op == "frameX"
