@@ -478,7 +478,8 @@ def gen_op_options(seed: int, op: str) -> dict:
                                      "flattenC": 8, "frameX": 9,
                                      "merge": 10,
                                      "frameC": 11,
-                                     "compactE": 12}.get(op, 6))
+                                     "compactE": 12,
+                                     "canonize": 13}.get(op, 6))
     opts: dict = {}
     # NO document base: relative IRI references have nothing to resolve
     # against (dropped subjects/objects, kept relative @ids under
@@ -536,6 +537,13 @@ def gen_op_options(seed: int, op: str) -> dict:
     elif op == "merge":
         if rng.random() < 0.35:
             opts["mergeNodes"] = False
+    elif op == "canonize":
+        # nested canonizeOptions surface (jsonld.js:577-580); the
+        # digest choice flows into every first/n-degree hash
+        if rng.random() < 0.25:
+            opts["canonizeOptions"] = {
+                "messageDigestAlgorithm": rng.choice(
+                    ["sha384", "sha512", "SHA-256"])}
     elif op in ("frame", "frameX", "frameC"):
         if rng.random() < 0.2:
             opts["omitDefault"] = True
@@ -826,6 +834,11 @@ def run_mine(op: str, doc, options: dict):
         if op == "nodeMap":
             return {"result": api.create_node_map_api(doc,
                                                       dict(options))}
+        if op == "canonize":
+            opts = {k: v for k, v in options.items()
+                    if not k.startswith("_")}
+            inp = options["_nquads"] if opts.get("inputFormat") else doc
+            return {"result": api.canonize(inp, opts)}
         raise ValueError(op)
     except JsonLdError as e:
         return {"errorCode": e.code}
@@ -959,7 +972,7 @@ def main():
         return
     ops = ["expand", "flatten", "toRDF", "compact", "frame", "fromRDF",
            "compactX", "flattenC", "frameX", "merge", "corrupt",
-           "frameC", "link", "compactE", "nodeMap"]
+           "frameC", "link", "compactE", "nodeMap", "canonize"]
     base = "https://fuzz.example/doc.jsonld"
     seeds = list(range(start, start + n))
     docs = {s: gen_doc(s) for s in seeds}
@@ -1066,6 +1079,19 @@ def main():
                     continue
                 reqs.append({"op": op, "input": nqs[s],
                              "options": gen_from_rdf_options(s)})
+            elif op == "canonize":
+                # RDFC-1.0 cross-implementation differential: the
+                # reference runs its toRDF + the shim's spec-derived
+                # JS canonizer (jsonld.js:564-604); every 4th seed
+                # takes the inputFormat=application/n-quads parse path
+                # over the shared N-Quads transport
+                if s % 4 == 0 and nqs[s] is not None:
+                    op_opts["inputFormat"] = "application/n-quads"
+                    reqs.append({"op": op, "input": nqs[s],
+                                 "options": op_opts})
+                else:
+                    reqs.append({"op": op, "input": docs[s],
+                                 "options": op_opts})
             else:
                 reqs.append({"op": op, "input": docs[s],
                              "options": op_opts})
@@ -1112,6 +1138,10 @@ def main():
             elif op == "fromRDF":
                 opts = dict(gen_from_rdf_options(s))
                 opts["_nquads"] = nqs[s]
+            elif op == "canonize":
+                if s % 4 == 0 and nqs[s] is not None:
+                    opts["inputFormat"] = "application/n-quads"
+                    opts["_nquads"] = nqs[s]
             opts["_seed"] = s
             mine = run_mine(op, docs[s], opts)
             if compare(op, ref, mine):

@@ -98,6 +98,13 @@ async function run(req) {
       case 'nodeMap':
         result = await jsonld.createNodeMap(req.input, options);
         break;
+      case 'canonize':
+        // jsonld.js:564-604 — toRDF (or N-Quads parse under
+        // inputFormat) then rdf-canonize; the shim's canonize() is a
+        // fresh spec-derived RDFC-1.0 implementation, so this leg is a
+        // cross-implementation differential on canonical labeling
+        result = await jsonld.canonize(req.input, options);
+        break;
       case 'merge':
         // input is an ARRAY of documents (jsonld.js:770-857)
         result = await jsonld.merge(
