@@ -314,12 +314,14 @@ def _ann_brute_force(sf_dir: str):
 
 
 def _ann_lsh(sf_dir: str):
+    # md5-derived hyperplanes (functions/ann.py _md5_planes) so the
+    # whole bucket→per-bucket-top-k pipeline has a DuckDB value oracle
     import ray
     from jsonld_js_ray.functions.ann import lsh_topk
     ids, vecs = _ann_queries(sf_dir)
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding"])
-    out = lsh_topk(emb, ids, vecs, k=_K_ANN)
+    out = lsh_topk(emb, ids, vecs, k=_K_ANN, hash_mode="md5")
     return out.select_columns(["query_id", "vec_id", "cosine", "rank"])
 
 
@@ -1039,6 +1041,52 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY query_id
                     ORDER BY cosine DESC, vec_id ASC) AS rank
                 FROM sims)
+            SELECT query_id, vec_id, cosine, rank
+            FROM ranked WHERE rank <= {_K_ANN}
+        """,
+        # full LSH pipeline mirror: md5-derived hyperplanes (weight =
+        # md5_number_lower('lshplane:d:j') / 2^64 * 2 - 1, identical
+        # float ops to functions/ann.py _md5_planes), sign-bit bucket
+        # packing, bucket-restricted cosine, (cosine DESC, vec_id ASC)
+        # rank — matching the per-bucket combiner's lexsort cut
+        "ann_lsh_topk": f"""
+            WITH planes AS (
+                SELECT j, list(
+                    md5_number_lower('lshplane:' || d || ':' || j)
+                        / 18446744073709551616.0 * 2 - 1
+                    ORDER BY d) AS pw
+                FROM (SELECT unnest(range((SELECT len(embedding)
+                                           FROM embeddings LIMIT 1)))
+                      AS d) dd
+                CROSS JOIN (SELECT unnest(range(6)) AS j) jj
+                GROUP BY j),
+            vb AS (
+                SELECT e.vec_id, CAST(sum(
+                    CASE WHEN list_dot_product(
+                             CAST(e.embedding AS DOUBLE[]), p.pw) > 0
+                         THEN 1 << p.j ELSE 0 END) AS BIGINT) AS bucket
+                FROM embeddings e CROSS JOIN planes p
+                GROUP BY e.vec_id),
+            q AS (
+                SELECT vec_id AS query_id, embedding
+                FROM embeddings ORDER BY vec_id LIMIT {_N_ANN_QUERIES}),
+            qb AS (
+                SELECT vb.vec_id AS query_id, vb.bucket
+                FROM vb JOIN q ON q.query_id = vb.vec_id),
+            cands AS (
+                SELECT qb.query_id, vb.vec_id,
+                       round(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]),
+                           CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+                FROM qb
+                JOIN q ON q.query_id = qb.query_id
+                JOIN vb ON vb.bucket = qb.bucket
+                JOIN embeddings e ON e.vec_id = vb.vec_id),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id ASC) AS rank
+                FROM cands)
             SELECT query_id, vec_id, cosine, rank
             FROM ranked WHERE rank <= {_K_ANN}
         """,

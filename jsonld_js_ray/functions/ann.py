@@ -83,14 +83,36 @@ def brute_force_topk(embeddings_ds, query_ids, query_vectors, k: int = 10):
                                                 batch_format="pandas")
 
 
+def _md5_planes(dim: int, n_planes: int) -> np.ndarray:
+    """DuckDB-reproducible hyperplanes: weight(d, j) =
+    ``md5_number_lower('lshplane:' || d || ':' || j) / 2^64 * 2 - 1``
+    (uniform in [-1, 1) — any symmetric-about-zero distribution gives
+    valid sign-LSH buckets, and md5 derivation lets the SQL oracle
+    rebuild the identical plane matrix)."""
+    from .dedup_text import _md5_u64
+    w = np.empty((dim, n_planes), dtype=np.float64)
+    for d in range(dim):
+        for j in range(n_planes):
+            w[d, j] = _md5_u64(f"lshplane:{d}:{j}") / 2.0**64 * 2.0 - 1.0
+    return w
+
+
 class HyperplaneLsh:
     """Scale path: random-hyperplane LSH bucketing. Vectors land in
     sign-pattern buckets; queries search only their own bucket (and the
-    pipeline can probe neighboring buckets for recall)."""
+    pipeline can probe neighboring buckets for recall).
 
-    def __init__(self, dim: int, n_planes: int = 8, seed: int = 5):
-        rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((dim, n_planes))
+    ``hash_mode="md5"`` derives the planes from md5 instead of a seeded
+    Gaussian so the whole pipeline has a DuckDB value oracle (same
+    precedent as the SimHash/MinHash md5 modes)."""
+
+    def __init__(self, dim: int, n_planes: int = 8, seed: int = 5,
+                 hash_mode: str = "gauss"):
+        if hash_mode == "md5":
+            self.planes = _md5_planes(dim, n_planes)
+        else:
+            rng = np.random.default_rng(seed)
+            self.planes = rng.standard_normal((dim, n_planes))
 
     def bucket_of(self, M: np.ndarray) -> np.ndarray:
         signs = (M @ self.planes) > 0
@@ -104,17 +126,17 @@ class HyperplaneLsh:
 
 
 def lsh_topk(embeddings_ds, query_ids, query_vectors, k: int = 10,
-             n_planes: int = 6, seed: int = 5):
+             n_planes: int = 6, seed: int = 5, hash_mode: str = "gauss"):
     """IVF/LSH-style ANN: bucket the corpus, search per-bucket only."""
     Q = np.asarray(query_vectors, dtype=np.float64)
     dim = Q.shape[1]
-    lsh = HyperplaneLsh(dim, n_planes, seed)
+    lsh = HyperplaneLsh(dim, n_planes, seed, hash_mode)
     q_buckets = lsh.bucket_of(Q)
 
     bucketed = embeddings_ds.map_batches(
         HyperplaneLsh,
         fn_constructor_kwargs={"dim": dim, "n_planes": n_planes,
-                               "seed": seed},
+                               "seed": seed, "hash_mode": hash_mode},
         batch_format="pyarrow", concurrency=default_concurrency(8), num_cpus=1)
 
     by_bucket: dict[int, list[int]] = {}
@@ -141,13 +163,17 @@ def lsh_topk(embeddings_ds, query_ids, query_vectors, k: int = 10,
         for qid in qids:
             qv = qm[qid]
             qv = qv / (np.linalg.norm(qv) or 1.0)
-            sims = M @ qv
+            # round BEFORE the top-k cut and break ties by vec_id (the
+            # same (cosine DESC, vec_id ASC) order the final rank and
+            # the SQL oracle use) so the per-bucket combiner can never
+            # drop a candidate the global ranking would have kept
+            sims = np.round(M @ qv, 6)
             kk = min(k, len(sims))
-            idx = np.argpartition(-sims, kk - 1)[:kk]
+            idx = np.lexsort((vec_ids, -sims))[:kk]
             rows.append(pd.DataFrame({
                 "query_id": np.full(kk, qid, dtype="int64"),
                 "vec_id": vec_ids[idx],
-                "cosine": np.round(sims[idx], 6)}))
+                "cosine": sims[idx]}))
         return pd.concat(rows, ignore_index=True)
 
     cands = bucketed.groupby("lsh_bucket").map_groups(

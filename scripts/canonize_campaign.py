@@ -140,9 +140,70 @@ def check_iff_isomorphic(seed):
     return same == _brute_isomorphic(n, e1, e2)
 
 
+def main_cross(n: int, start: int):
+    """--x mode: cross-implementation differential. Serialize each
+    random dataset (plus the dense iff-isomorphism digraphs, the most
+    automorphism-rich inputs we generate) to N-Quads and canonize it
+    through BOTH the Python kernel and the JS RDFC-1.0 implementation
+    in scripts/refdiff/node_modules/rdf-canonize (a second fresh
+    spec derivation, reached through the reference's whole
+    jsonld.canonize wrapper, jsonld.js:564-604). Outputs must be
+    byte-identical; errors must agree on code."""
+    import json
+    import pathlib
+    import subprocess
+
+    from jsonld_js_ray.core.errors import JsonLdError
+    from jsonld_js_ray.core.nquads import serialize_quad
+
+    here = pathlib.Path(__file__).parent / "refdiff"
+    reqs, mine = [], []
+    for s in range(start, start + n):
+        cases = [gen_dataset(s)]
+        rng = random.Random(s * 31 + 5)
+        nn = rng.randint(3, 7)
+        all_pairs = [(i, j) for i in range(nn) for j in range(nn)
+                     if i != j]
+        m = rng.randint(nn - 1, min(len(all_pairs), 2 * nn))
+        cases.append([(f"_:n{i}", P, OBJ_BNODE, f"_:n{j}", None, None,
+                       "") for i, j in rng.sample(all_pairs, m)])
+        for quads in cases:
+            nq = "".join(serialize_quad(q) + "\n" for q in quads)
+            reqs.append({"op": "canonize", "input": nq,
+                         "options": {"inputFormat":
+                                     "application/n-quads"}})
+            try:
+                mine.append({"result": canonize(parse(nq))})
+            except JsonLdError as e:
+                mine.append({"errorCode": e.code})
+    proc = subprocess.run(
+        ["node", str(here / "refrun.js")],
+        input=json.dumps(reqs).encode(),
+        env={"NODE_PATH": str(here / "node_modules"),
+             "PATH": "/usr/bin:/bin:/usr/local/bin"},
+        capture_output=True, check=True)
+    refs = [json.loads(line) for line in
+            proc.stdout.decode().splitlines() if line.strip()]
+    bad = 0
+    for i, (r, m2) in enumerate(zip(refs, mine)):
+        if r != m2:
+            bad += 1
+            print(f"CROSS DIVERGE case={i}")
+            print("  ref :", json.dumps(r)[:300])
+            print("  mine:", json.dumps(m2)[:300])
+    print(f"{len(refs) - bad} ok, {bad} divergences "
+          f"(cross-implementation, {len(refs)} datasets, "
+          f"seeds {start}..{start + n - 1})")
+    sys.exit(1 if bad else 0)
+
+
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 500
-    start = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(args[0]) if args else 500
+    start = int(args[1]) if len(args) > 1 else 0
+    if "--x" in sys.argv:
+        main_cross(n, start)
+        return
     bad = 0
     for s in range(start, start + n):
         if not check_invariance(gen_dataset(s), s):

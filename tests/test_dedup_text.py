@@ -548,3 +548,75 @@ def test_minhash_md5_near_dup_matches_duckdb(ray_session):
     assert len(comps) == len(coracle) > 0
     assert (comps[["a", "label"]].values
             == coracle[["a", "label"]].values).all()
+
+
+def test_lsh_topk_md5_matches_duckdb(ray_session):
+    """md5-plane LSH ANN: the full pipeline (md5-derived hyperplanes →
+    sign buckets → bucket-restricted cosine top-k) must be value-exact
+    against an independent DuckDB re-derivation (the ann_lsh_topk
+    oracle)."""
+    import duckdb
+    import numpy as np
+    import ray
+    from jsonld_js_ray.functions.ann import _md5_planes, lsh_topk
+
+    rng = np.random.default_rng(7)
+    vecs = _normalize_rows(rng.normal(size=(300, 16)))
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()}
+         for i in range(300)])
+    qids = [0, 1, 2]
+    out = lsh_topk(ds, qids, vecs[qids], k=5, n_planes=6,
+                   hash_mode="md5").to_pandas()
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings (vec_id BIGINT, "
+                "embedding DOUBLE[])")
+    con.executemany("INSERT INTO embeddings VALUES (?, ?)",
+                    [(i, vecs[i].tolist()) for i in range(300)])
+    sql = """
+        WITH planes AS (
+            SELECT j, list(
+                md5_number_lower('lshplane:' || d || ':' || j)
+                    / 18446744073709551616.0 * 2 - 1 ORDER BY d) AS pw
+            FROM (SELECT unnest(range(16)) AS d) dd
+            CROSS JOIN (SELECT unnest(range(6)) AS j) jj GROUP BY j),
+        vb AS (
+            SELECT e.vec_id, CAST(sum(
+                CASE WHEN list_dot_product(e.embedding, p.pw) > 0
+                     THEN 1 << p.j ELSE 0 END) AS BIGINT) AS bucket
+            FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id),
+        q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+              WHERE vec_id IN (0, 1, 2)),
+        qb AS (SELECT vb.vec_id AS query_id, vb.bucket
+               FROM vb JOIN q ON q.query_id = vb.vec_id),
+        cands AS (
+            SELECT qb.query_id, vb.vec_id,
+                   round(list_cosine_similarity(
+                       e.embedding, q.embedding), 6) AS cosine
+            FROM qb JOIN q ON q.query_id = qb.query_id
+            JOIN vb ON vb.bucket = qb.bucket
+            JOIN embeddings e ON e.vec_id = vb.vec_id),
+        ranked AS (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC)
+            AS rank FROM cands)
+        SELECT query_id, vec_id, cosine, rank
+        FROM ranked WHERE rank <= 5
+    """
+    odf = con.execute(sql).df().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    assert len(out) == len(odf)
+    assert (out["vec_id"].to_numpy() == odf["vec_id"].to_numpy()).all()
+    assert (out["cosine"].to_numpy() == odf["cosine"].to_numpy()).all()
+
+    # plane weights themselves match DuckDB's md5_number_lower formula
+    w = _md5_planes(3, 2)
+    ww = con.execute("""
+        SELECT d, j, md5_number_lower('lshplane:' || d || ':' || j)
+                   / 18446744073709551616.0 * 2 - 1 AS w
+        FROM (SELECT unnest(range(3)) AS d) dd
+        CROSS JOIN (SELECT unnest(range(2)) AS j) jj
+        ORDER BY d, j""").df()
+    for _, row in ww.iterrows():
+        assert w[int(row.d), int(row.j)] == row.w
