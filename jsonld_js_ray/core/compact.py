@@ -122,6 +122,18 @@ def inverse_context(active_ctx: ActiveContext) -> dict:
     return result
 
 
+def _js_falsy(v) -> bool:
+    """JS falsiness for scalars: null/undefined, false, 0, NaN, ''.
+    (Objects and arrays — even empty — are truthy.)"""
+    if v is None or v is False:
+        return True
+    if isinstance(v, bool):
+        return False
+    if isinstance(v, (int, float)):
+        return v == 0 or v != v
+    return v == ""
+
+
 def _js_property_key(v):
     """JS object-key coercion: `pref in valueMap` stringifies the pref
     (compact.js:1103-1110 reached with an ARRAY typeOrLanguageValue
@@ -871,16 +883,26 @@ def compact(active_ctx: ActiveContext, active_property: Optional[str],
                                              relative_to_vocab=True)
                     key = None
                     if isinstance(compacted_item, dict):
+                        # reference: [key, ...types] =
+                        # _asArray(compactedItem[typeKey] || []) — a JS-
+                        # FALSY compacted @type (a null from a nulled
+                        # type-map key term) becomes [], so key stays
+                        # undefined AND the @type key is still deleted
+                        # via the case-0 switch arm (compact.js:595-607;
+                        # fuzz seed 19397)
                         types = compacted_item.get(type_alias)
-                        if isinstance(types, list) and types:
+                        if isinstance(types, str):
+                            types = [types]
+                        elif not isinstance(types, list):
+                            types = [] if _js_falsy(types) else [types]
+                        if types:
                             key = types.pop(0)
-                            if len(types) == 1:
-                                compacted_item[type_alias] = types[0]
-                            elif not types:
-                                compacted_item.pop(type_alias, None)
-                        elif isinstance(types, str):
-                            key = types
+                        if len(types) == 1:
+                            compacted_item[type_alias] = types[0]
+                        elif not types:
                             compacted_item.pop(type_alias, None)
+                        else:
+                            compacted_item[type_alias] = types
                         # the reference checks ONLY single-entry +
                         # @id-in-expandedItem (compact.js:610-620) —
                         # its comment says "whose key maps to @id" but
@@ -893,9 +915,15 @@ def compact(active_ctx: ActiveContext, active_property: Optional[str],
                             compacted_item = compact(
                                 active_ctx, item_active_property,
                                 {"@id": expanded_item["@id"]}, options)
-                if key is None:
+                # reference: `if(!key) key = @none` (compact.js:622-625)
+                # — JS-FALSY keys ('' / false / 0) fall back to @none in
+                # EVERY map branch, and a truthy non-string key becomes
+                # a JS object key (string coercion)
+                if _js_falsy(key):
                     key = compact_iri(active_ctx, "@none",
                                       relative_to_vocab=True)
+                elif not isinstance(key, str):
+                    key = _js_property_key(key)
                 add_value_compact(map_object, key, compacted_item,
                                   "@set" in container)
             else:
