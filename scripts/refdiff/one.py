@@ -120,6 +120,15 @@ def main():
             print("LCTX:", json.dumps(lctx, indent=1))
         elif op == "nodeMap":
             pass  # plain input, no extra operands
+        elif op == "canonize":
+            if seed % 4 == 0:
+                nq = fuzz.nquads_for_seed(doc)
+                if nq is not None:
+                    req["input"] = nq
+                    req["options"]["inputFormat"] = "application/n-quads"
+                    opts["inputFormat"] = "application/n-quads"
+                    opts["_nquads"] = nq
+                    print("NQUADS:", nq)
         elif op in ("frame", "frameX", "frameC"):
             fr = fuzz.gen_frame(
                 seed, fuzz.gen_doc(2 * seed + 1) if op == "frameX"
