@@ -817,10 +817,13 @@ def _expand_language_map(active_ctx, key, value, term_def, options):
         items = value[lang]
         if not isinstance(items, list):
             items = [items]
-        exp_lang = expand_iri(active_ctx, lang, vocab_mode=True,
+        # key expands under the TERM context (expand.js:864 passes
+        # termCtx into _expandLanguageMap); ONLY an expansion of
+        # exactly '@none' suppresses @language — a NULLED term key
+        # expands to null, which is !== '@none' in the reference, so
+        # its @language is KEPT (16-op campaign seed 24211)
+        exp_lang = expand_iri(term_ctx, lang, vocab_mode=True,
                               options=options)
-        if exp_lang == "@none":
-            exp_lang = None
         for item in items:
             if item is None:
                 continue
@@ -829,7 +832,7 @@ def _expand_language_map(active_ctx, key, value, term_def, options):
                     "Language map values must be strings.",
                     "invalid language map value")
             v = {"@value": item}
-            if exp_lang is not None:
+            if exp_lang != "@none":
                 # the BCP47 event fires PER ITEM, inside the loop
                 # (expand.js:1163-1180) — a key whose value array is
                 # EMPTY emits nothing (link fuzz seed 4859: {"@list":

@@ -23,7 +23,10 @@ def canonical_double(value: float) -> str:
     if math.isnan(value):
         return "NaN"
     if math.isinf(value):
-        return "INF" if value > 0 else "-INF"
+        # JS (Infinity).toExponential(15) === 'Infinity' and the
+        # reference's regex leaves it untouched — reachable through
+        # parseFloat('Infinity') under an xsd:double-coerced term
+        return "Infinity" if value > 0 else "-Infinity"
     mant, _, exp = f"{value:.15e}".partition("e")
     if value == 0:
         mant = mant.lstrip("-")  # JS (-0).toExponential drops the sign
@@ -33,6 +36,32 @@ def canonical_double(value: float) -> str:
         # fractional part was zeros
         mant += "0"
     return f"{mant}E{int(exp)}"
+
+
+_PARSE_FLOAT_RE = None
+
+
+def js_parse_float(s) -> float:
+    """ES ``parseFloat``: skip leading whitespace, parse the LONGEST
+    valid decimal-literal prefix ('Infinity' allowed, hex not), NaN
+    when none — so ``parseFloat('leaf')`` is NaN, ``'3e'`` is 3,
+    ``'  +.5x'`` is 0.5 (cf. reference toRdf.js:300-303, which funnels
+    every non-double value with an xsd:double datatype through it)."""
+    global _PARSE_FLOAT_RE
+    if _PARSE_FLOAT_RE is None:
+        import re
+        _PARSE_FLOAT_RE = re.compile(
+            r"[+-]?(?:Infinity|\d+\.?\d*(?:[eE][+-]?\d+)?"
+            r"|\.\d+(?:[eE][+-]?\d+)?)")
+    if not isinstance(s, str):
+        try:
+            return float(s)
+        except (TypeError, ValueError):
+            return float("nan")
+    m = _PARSE_FLOAT_RE.match(s.lstrip())
+    if not m:
+        return float("nan")
+    return float(m.group(0))
 
 
 def canonical_integer(value) -> str:

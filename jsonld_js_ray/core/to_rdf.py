@@ -24,7 +24,8 @@ from .keywords import (
     is_absolute_iri, is_bool, is_double, is_keyword, is_list, is_number,
     is_value,
 )
-from .literals import canonical_double, canonical_integer, jcs_canonicalize
+from .literals import (canonical_double, canonical_integer,
+                       jcs_canonicalize, js_parse_float)
 from .node_map import IdentifierIssuer, create_node_map
 
 OBJ_IRI = 0
@@ -163,10 +164,21 @@ def _list_to_rdf(quads, items, issuer, graph_term, options):
 class _ArrayDatatype(str):
     """A datatype string coerced from a JS-array @type: always truthy
     (a JS array is truthy even when its toString() is ''), so the
-    `datatype or XSD_*` fallbacks must never fire for it."""
+    `datatype or XSD_*` fallbacks must never fire for it — and never
+    strictly EQUAL to any string (`['…#double'] === XSD_DOUBLE` is
+    false in JS), so the `datatype === '@json'` / `=== XSD_DOUBLE`
+    dispatch checks must not fire for it either."""
 
     def __bool__(self):
         return True
+
+    def __eq__(self, other):
+        return self is other
+
+    def __ne__(self, other):
+        return self is not other
+
+    __hash__ = str.__hash__
 
 
 def _object_to_rdf(item, options, issuer=None, quads=None, graph_term=None):
@@ -217,7 +229,11 @@ def _object_to_rdf(item, options, issuer=None, quads=None, graph_term=None):
         return (OBJ_LITERAL, "true" if value else "false",
                 datatype or XSD_BOOLEAN, None)
     if is_double(value) or datatype == XSD_DOUBLE:
-        return (OBJ_LITERAL, canonical_double(float(value)),
+        # a NON-double value under an xsd:double datatype goes through
+        # ES parseFloat (toRdf.js:300-303): 'leaf' -> "NaN"^^xsd:double
+        v = value if is_number(value) and not is_bool(value) \
+            else js_parse_float(value)
+        return (OBJ_LITERAL, canonical_double(v),
                 datatype or XSD_DOUBLE, None)
     if is_number(value):
         return (OBJ_LITERAL, canonical_integer(value),

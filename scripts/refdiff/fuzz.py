@@ -30,16 +30,19 @@ from jsonld_js_ray.core.nquads import parse as parse_nquads  # noqa: E402
 
 EX = "http://fuzz.example/"
 TERMS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
-LANGS = ["en", "fr", "de", "ar"]
+LANGS = ["en", "fr", "de", "ar", "en-US", "EN", "zh-Hant-x-priv"]
 TYPES = ["T1", "T2", "T3"]
 CONTAINERS = [None, "@set", "@list", "@index", "@language", "@id",
               "@type", "@graph", ["@graph", "@index"],
               ["@graph", "@id"], ["@index", "@set"],
               ["@id", "@set"], ["@type", "@set"],
-              ["@language", "@set"], ["@graph", "@set"]]
+              ["@language", "@set"], ["@graph", "@set"],
+              ["@graph", "@id", "@set"], ["@graph", "@index", "@set"]]
 COERCIONS = [None, "@id", "@vocab", "@json", "@none",
              "http://www.w3.org/2001/XMLSchema#integer",
-             "http://www.w3.org/2001/XMLSchema#date"]
+             "http://www.w3.org/2001/XMLSchema#date",
+             "http://www.w3.org/2001/XMLSchema#double",
+             "http://www.w3.org/2001/XMLSchema#boolean"]
 
 
 def gen_context(rng: random.Random) -> dict:

@@ -310,4 +310,6 @@ def test_type_map_null_key_yields_empty_datatype():
     assert len(quads) == 1
     s, p, kind, v, dt, lang, g = quads[0]
     assert (s, p, v) == ("http://n/s", "http://v/t", "true")
-    assert dt == "" and bool(dt) is True  # truthy-array mirror
+    # truthy-array mirror: string value '' but JS-truthy AND never
+    # strictly equal to any plain string (array === string is false)
+    assert str(dt) == "" and bool(dt) is True and dt != ""
