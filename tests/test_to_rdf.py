@@ -313,3 +313,18 @@ def test_type_map_null_key_yields_empty_datatype():
     # truthy-array mirror: string value '' but JS-truthy AND never
     # strictly equal to any plain string (array === string is false)
     assert str(dt) == "" and bool(dt) is True and dt != ""
+
+
+@pytest.mark.parametrize("s,expected", [
+    ("leaf", "NaN"), ("3e", "3.0E0"), ("3e2", "3.0E2"),
+    ("Infinity", "Infinity"), ("-Infinity", "-Infinity"),
+    ("  +.5x", "5.0E-1"), ("12.5say", "1.25E1"), (".25", "2.5E-1"),
+    ("", "NaN"), ("e5", "NaN"), ("+-1", "NaN"),
+])
+def test_js_parse_float_double_funnel(s, expected):
+    # ES parseFloat semantics (longest valid decimal prefix, Infinity
+    # allowed, NaN otherwise) feeding the canonical double form —
+    # toRdf.js:300-306 funnels every non-double value with an exact
+    # xsd:double datatype through it (V8-checked pairs)
+    from jsonld_js_ray.core.literals import js_parse_float
+    assert canonical_double(js_parse_float(s)) == expected
