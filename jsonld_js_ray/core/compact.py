@@ -700,7 +700,12 @@ def compact(active_ctx: ActiveContext, active_property: Optional[str],
             pass
 
         if not isinstance(expanded_value, list):
-            expanded_value = [expanded_value]
+            # reference compact.js:348-353: a non-array property value
+            # (e.g. the nulled-property-index fallback's raw string) is
+            # a hard code-less SyntaxError
+            raise JsonLdError(
+                "JSON-LD expansion error; expanded value must be an "
+                "array.", "jsonld.SyntaxError")
 
         if len(expanded_value) == 0:
             item_active_property = compact_iri(

@@ -618,7 +618,8 @@ def _expand_object(active_ctx, active_property, element, result, nests,
                     active_ctx, term_def["@context"], options,
                     override_protected=True)
             expanded_value = _expand_index_map(
-                term_ctx, key, value, term_def, container, options)
+                term_ctx, key, value, term_def, container, options,
+                outer_ctx=active_ctx)
         elif term_def.get("@type") == "@json":
             expanded_value = {"@value": value, "@type": "@json"}
         else:
@@ -849,13 +850,23 @@ def _expand_language_map(active_ctx, key, value, term_def, options):
     return rval
 
 
-def _expand_index_map(active_ctx, key, value, term_def, container, options):
+def _expand_index_map(active_ctx, key, value, term_def, container, options,
+                      outer_ctx=None):
     """Index/id/type map expansion (spec §5.1.2 step 13.8;
     cf. reference expand.js:1190-1281)."""
     rval = []
     as_graph = "@graph" in container
     index_key = term_def.get("@index", "@index")
-    property_index = index_key != "@index"
+    # propertyIndex expands under the OUTER active context, not the
+    # term context (expand.js:868-870), and is used through JS
+    # truthiness: a nulled/unmappable index term gives propertyIndex
+    # null, so the injection arm is SKIPPED and the raw
+    # `item[indexKey] = key` fallback applies (expand.js:1263-1273;
+    # wave-11 fuzz seed 3551)
+    property_index = None
+    if index_key != "@index":
+        property_index = expand_iri(outer_ctx or active_ctx, index_key,
+                                    vocab_mode=True, options=options)
     if ("@type" in container and "@index" not in container
             and "@id" not in container
             and active_ctx.previous_context is not None):
@@ -881,7 +892,7 @@ def _expand_index_map(active_ctx, key, value, term_def, container, options):
             if as_graph and not is_graph(item):
                 item = {"@graph": [item]}
             if "@index" in container:
-                if property_index:
+                if index_key != "@index":
                     # property-based indexing: a VALUE item is an
                     # immediate error — the reference's isValue check
                     # (expand.js:1248-1254) runs before the property
@@ -892,20 +903,28 @@ def _expand_index_map(active_ctx, key, value, term_def, container, options):
                             "Attempt to add illegal key to value "
                             f'object: "{index_key}".',
                             "invalid value object")
-                    # @none-ness is the LITERAL key here, not a vocab
-                    # expansion (expand.js:1226-1233: expandedKey is
-                    # '@none' only when the raw key is '@none')
-                    if idx != "@none":
-                        # re-expand idx as a VALUE of index_key (the
-                        # raw term: its own @type/@language coercions
-                        # apply) and PREPEND it to the property
-                        idx_val = _expand_value(
-                            active_ctx, index_key, idx, options)
-                        prop_iri = expand_iri(
-                            active_ctx, index_key, vocab_mode=True,
-                            options=options)
-                        item.setdefault(prop_iri, [])
-                        item[prop_iri] = [idx_val] + item[prop_iri]
+                    if property_index:
+                        # @none-ness is the LITERAL key here, not a
+                        # vocab expansion (expand.js:1226-1233:
+                        # expandedKey is '@none' only when the raw key
+                        # is '@none')
+                        if idx != "@none":
+                            # re-expand idx as a VALUE of index_key
+                            # (the raw term: its own @type/@language
+                            # coercions apply) and PREPEND it
+                            idx_val = _expand_value(
+                                active_ctx, index_key, idx, options)
+                            item.setdefault(property_index, [])
+                            item[property_index] = \
+                                [idx_val] + item[property_index]
+                    elif expanded_idx != "@none" \
+                            and index_key not in item:
+                        # falsy propertyIndex (nulled index term): the
+                        # reference's `else if` chain falls through to
+                        # the verbatim `item[indexKey] = key` arm —
+                        # RAW key string under the RAW index-term key
+                        # (expand.js:1270-1272)
+                        item[index_key] = idx
                 elif expanded_idx != "@none" and "@index" not in item:
                     # value objects get @index too (reference
                     # expand.js:1274-1276 has no isValue guard;

@@ -267,6 +267,25 @@ def create_node_map(element, graph_map: dict, active_graph: str,
         values = element[prop]
         if prop.startswith("_:"):
             prop = issuer.get_id(prop)
+        if not isinstance(values, list):
+            # the reference runs `for(let o of objects)` on the RAW
+            # property value (nodeMap.js:168-182): a bare STRING — the
+            # nulled-property-index fallback stores one verbatim —
+            # iterates its CHARACTERS, each addValue'd with dedupe
+            # (wave-11 fuzz seed 3551: "k1" becomes ["k","1"]); the
+            # empty string hits the length-0 arm; anything else
+            # non-iterable crashes raw — mirrored as a typed error
+            if isinstance(values, str):
+                if not values:
+                    node.setdefault(prop, [])
+                    continue
+                for ch in values:
+                    add_value(node, prop, ch)
+                continue
+            raise JsonLdError(
+                "objects is not iterable (reference TypeError: "
+                "non-array property value in node map)",
+                "TypeError parity")
         if isinstance(values, list) and not values:
             # property added ONLY for literally-empty arrays
             # (nodeMap.js:177-180); when values exist but every one is
