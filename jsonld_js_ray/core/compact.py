@@ -724,8 +724,15 @@ def compact(active_ctx: ActiveContext, active_property: Optional[str],
                 active_ctx, item_active_property, result)
             td = active_ctx.mappings.get(item_active_property) or {}
             container = td.get("@container") or []
-            as_array = ("@set" in container or not compact_arrays
-                        or item_active_property in ("@graph", "@list"))
+            # reference compact.js:630-640: array if compactArrays off,
+            # container has @set OR @LIST, the compacted item is an
+            # empty array, or the EXPANDED property is @list/@graph
+            # (the raw keyword, not the compacted alias; @list-container
+            # case found by fuzz seed 29192 via a relative property
+            # name that collides with a foreign @list term)
+            as_array = ("@set" in container or "@list" in container
+                        or not compact_arrays
+                        or expanded_property in ("@graph", "@list"))
 
             inner = expanded_item
             if is_list(expanded_item):
@@ -818,9 +825,14 @@ def compact(active_ctx: ActiveContext, active_property: Optional[str],
                                       or not compact_arrays)
                 continue
 
+            # NOTE: no @graph exclusion — the graph-compaction cases
+            # above are gated on isGraph (compact.js:460) and this map
+            # packing is their else-chain, so a NON-graph item under a
+            # @graph+@id/@index container still packs into the map
+            # (reachable via foreign-context compaction; fuzz seed
+            # 19343)
             if ("@language" in container or "@index" in container
-                    or "@id" in container or "@type" in container) \
-                    and "@graph" not in container:
+                    or "@id" in container or "@type" in container):
                 map_object = nest_result.setdefault(nest_prop, {})
                 if compacted_item is None and "@language" not in container:
                     # a null compacted value (a @json literal with a
@@ -932,8 +944,12 @@ def compact(active_ctx: ActiveContext, active_property: Optional[str],
                 add_value_compact(map_object, key, compacted_item,
                                   "@set" in container)
             else:
+                # reference's isArray also covers a compacted EMPTY
+                # array (compact.js:633-634)
                 add_value_compact(nest_result, nest_prop, compacted_item,
-                                  as_array)
+                                  as_array
+                                  or (isinstance(compacted_item, list)
+                                      and not compacted_item))
 
     return result
 
