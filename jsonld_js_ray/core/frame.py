@@ -99,53 +99,25 @@ def frame_document(document, frame_doc, options: dict):
     # (cf. reference jsonld.js:487-489 opts.link = {})
     compact_opts = dict(options)
     compact_opts["link"] = {}
+    # the reference sets opts.graph = !omitGraph and lets compact's own
+    # collapse/wrap logic run (jsonld.js:484, 188-245): with graph on,
+    # any object wraps as a one-element array under the @graph ALIAS;
+    # with graph off, a 0/1-element array collapses (gated on
+    # compactArrays) and a longer one wraps under the alias. The
+    # collapse keeps the single node ITSELF (no copy — @link cycles to
+    # the root stay `is`-identical, link fuzz seed 1104) while the
+    # ctx-prepend shallow-copies (jsonld.js:239-245), and cleanupNull
+    # after forks shared property arrays. An earlier port-side rewrap
+    # here keyed on the literal "@graph" and missed aliased wrappers
+    # (wave-12 fuzz seed 113: {"gr": "@graph"} + omitGraph).
+    compact_opts["graph"] = not options["omitGraph"]
     # the reference cleans @preserve on the EXPANDED output before
     # compaction (frame.js:62-64); this port cleans after — the one
     # place the order is observable is @type, where a default-object
     # fill leaves {'@preserve': [types]} wrappers that compaction's
     # IRI handling can't digest: unwrap just those here
     _unwrap_type_preserve(results)
-    compacted = compact_document(results, frame_ctx, compact_opts,
-                                 from_flatten=True)
-
-    # graph wrap/unwrap runs BEFORE the cleanup passes — in the
-    # reference it happens INSIDE jsonld.compact (jsonld.js:190-245)
-    # with _cleanupNull after (jsonld.js:492). The order is observable
-    # through @embed:@link identity: the ctx-rewrap shallow-copies the
-    # root, and cleanupNull then forks the shared property ARRAYS
-    # between the copy and the original (link fuzz seed 1104)
-    if isinstance(compacted, dict) and "@graph" in compacted \
-            and options["omitGraph"]:
-        graph_val = compacted["@graph"]
-        if isinstance(graph_val, list) and not graph_val:
-            # zero matches: just the context, no empty @graph key
-            compacted = {k: v for k, v in compacted.items()
-                         if k != "@graph"}
-        elif isinstance(graph_val, list) and len(graph_val) == 1 \
-                and isinstance(graph_val[0], dict):
-            if "@context" in compacted:
-                # the reference shallow-copies keys into a fresh
-                # {'@context': ...} object here (jsonld.js:239-245) —
-                # which BREAKS @link identity between the root and any
-                # inner reference to it; mirror that exactly
-                compacted = {"@context": compacted["@context"],
-                             **graph_val[0]}
-            else:
-                # no context: the reference returns the single graph
-                # node ITSELF (jsonld.js:190-195 collapse, no copy), so
-                # a @link cycle back to the root stays `is`-identical
-                compacted = graph_val[0]
-    elif isinstance(compacted, dict) and "@graph" not in compacted \
-            and not options["omitGraph"]:
-        ctxv = compacted.pop("@context", None)
-        # any OBJECT wraps — including an empty {} match whose keys
-        # were all stripped (jsonld.js graph-wrap checks _isObject,
-        # not truthiness; fuzz seed 848)
-        body = {"@graph": [compacted] if isinstance(compacted, dict)
-                else []}
-        if ctxv is not None:
-            body = {"@context": ctxv, **body}
-        compacted = body
+    compacted = compact_document(results, frame_ctx, compact_opts)
 
     # cleanup @preserve / null (reference jsonld.js:491-492)
     compacted = _cleanup_preserve(compacted)

@@ -122,7 +122,32 @@ def gen_context(rng: random.Random) -> dict:
     if rng.random() < 0.1 and isinstance(ctx.get(TYPES[0]), dict) \
             and "@context" in ctx.get(TYPES[0], {}):
         ctx[TYPES[0]]["@context"]["@propagate"] = True
+    # wave-12 grammar: BROADER keyword aliases (beyond id/type) that
+    # gen_node uses as data keys — when the alias is absent the same
+    # key is an ordinary vocab term, so both readings get fuzzed
+    for alias, kw in rng.sample(list(_KW_ALIASES.items()),
+                                rng.randint(0, 2)):
+        if rng.random() < 0.45:
+            ctx[alias] = kw
+    if rng.random() < 0.08:
+        # CURIE-shaped TERM name: an explicit term definition takes
+        # precedence over prefix expansion of the same string
+        # (context.js createTermDefinition; expand-iri term-first)
+        ctx["px:special"] = EX + "curie-term"
+    if rng.random() < 0.06 and isinstance(ctx.get("@vocab"), str):
+        # vocab-relative @vocab (1.1): a relative @vocab resolves
+        # against the CURRENT vocab mapping / document base
+        ctx["@vocab"] = rng.choice(["sub/", "alpha", "px:vv/"])
     return ctx
+
+
+# wave-12: alias names gen_node uses as DATA keys; values here are the
+# keywords the context maps them to (when the per-seed roll defines
+# them). "val"+"lang" together form an aliased value object.
+_KW_ALIASES = {"val": "@value", "lst": "@list", "st": "@set",
+               "gr": "@graph", "lang": "@language", "rev": "@reverse",
+               "idx": "@index", "nst": "@nest", "incl": "@included",
+               "dir": "@direction"}
 
 
 # round-5 seventh-wave grammar: RELATIVE IRI references (resolve
@@ -163,6 +188,8 @@ def gen_value(rng: random.Random, depth: int):
         # explicit list/set objects in data (not container-made)
         kw = "@list" if rng.random() < 0.7 else "@set"
         inner = [gen_value(rng, 0) for _ in range(rng.randint(0, 2))]
+        if rng.random() < 0.15:
+            inner.append(None)  # null members drop from lists/sets
         out = {kw: inner if rng.random() < 0.8 else
                (inner[0] if inner else None)}
         if kw == "@list" and rng.random() < 0.25 and depth > 0:
@@ -222,6 +249,36 @@ def gen_node(rng: random.Random, depth: int) -> dict:
             gen_value(rng, 0)
     if rng.random() < 0.06:
         node["id"] = "urn:via-alias" + str(rng.randint(0, 3))
+    # wave-12: alias-shaped DATA keys (aliased keyword when the
+    # context roll defined them, ordinary vocab term otherwise)
+    if rng.random() < 0.12:
+        ar = rng.random()
+        if ar < 0.3:
+            # aliased value object (or a 2-property node)
+            node2 = {"val": rng.choice(["av", 7, True])}
+            if rng.random() < 0.6:
+                node2["lang"] = rng.choice(LANGS)
+            elif rng.random() < 0.3:
+                node2["dir"] = rng.choice(["ltr", "rtl"])
+            node[rng.choice(TERMS)] = node2
+        elif ar < 0.45 and depth > 0:
+            node["gr"] = [gen_node(rng, depth - 1)]
+        elif ar < 0.6:
+            node["rev"] = {EX + "rp2": {"@id": "urn:rev2"}}
+        elif ar < 0.7:
+            node["idx"] = "ai" + str(rng.randint(0, 2))
+        elif ar < 0.8:
+            node[rng.choice(TERMS)] = {
+                rng.choice(["lst", "st"]):
+                    [gen_value(rng, 0) for _ in range(rng.randint(0, 2))]}
+        elif ar < 0.9 and depth > 0:
+            node["incl"] = [gen_node(rng, depth - 1)]
+        else:
+            node["nst"] = {"alpha": gen_value(rng, 0)}
+    if rng.random() < 0.05:
+        node["px:special"] = gen_value(rng, 0)
+    if rng.random() < 0.05:
+        node[rng.choice(TERMS)] = []  # empty-array property value
     # eighth-wave grammar: INLINE node-level contexts — an embedded
     # @context layered over the active context at this node (expand
     # processes it before any key; propagates into the subtree), an
@@ -231,6 +288,11 @@ def gen_node(rng: random.Random, depth: int) -> dict:
         r2 = rng.random()
         if r2 < 0.2:
             node["@context"] = None
+        elif r2 < 0.3:
+            # wave-12: RELATIVE @base in an inline context resolves
+            # against the CURRENT base (RFC 3986 merge)
+            node["@context"] = {"@base": rng.choice(
+                ["sub/dir/", "../up/", "//net.example/nb/"])}
         elif r2 < 0.45:
             node["@context"] = [None, {"@vocab": EX + "inline/"}]
         elif r2 < 0.7:
@@ -556,6 +618,10 @@ def gen_op_options(seed: int, op: str) -> dict:
             opts["omitGraph"] = False
         if rng.random() < 0.15:
             opts["embed"] = rng.choice(["@always", "@never", "@once"])
+        if rng.random() < 0.15:
+            # gates the framed-output 0/1-element collapse
+            # (jsonld.js:188-195 via opts.graph=!omitGraph)
+            opts["compactArrays"] = False
     return opts
 
 
