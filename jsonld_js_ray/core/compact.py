@@ -18,7 +18,7 @@ from .keywords import (
     is_subject_reference, is_value,
 )
 from .node_map import add_value
-from .url import DeletedBase, remove_base
+from .url import DeletedBase, prepend_base, remove_base
 
 
 def _shortest_least(a: str) -> tuple:
@@ -411,10 +411,18 @@ def compact_iri(active_ctx: ActiveContext, iri: Optional[str],
         # three modes keyed on whether a LOCAL context set @base
         # (compact.js:926-936, `'@base' in activeCtx`):
         if active_ctx.has_ctx_base:
-            if not active_ctx.base:
-                # explicit @base null — keep potentially-relative IRIs
+            if not active_ctx.ctx_base:
+                # explicit @base null (or a slot that chained to '') —
+                # keep potentially-relative IRIs
                 return iri
-            rel = remove_base(active_ctx.base, iri)
+            # the reference re-resolves the raw context-@base SLOT
+            # against compactIri's base PARAM — options.base, which is
+            # null via the destructuring default in the DELETED-base
+            # state (compact.js:931, :677) so the slot applies verbatim
+            # there, unlike expansion's empty-base resolution
+            ob = active_ctx.original_base
+            pb = None if isinstance(ob, DeletedBase) else ob
+            rel = remove_base(prepend_base(pb, active_ctx.ctx_base), iri)
             # only THIS branch guards keyword-like relativizations with
             # ./ so they can't be mistaken for keywords on re-expansion
             if KEYWORD_LIKE_RE.match(rel):
@@ -769,6 +777,13 @@ def compact(active_ctx: ActiveContext, active_property: Optional[str],
             if is_graph(expanded_item):
                 if "@graph" in container and "@id" in container:
                     map_object = nest_result.setdefault(nest_prop, {})
+                    if isinstance(map_object, list):
+                        # JS parity: a preceding graph-else item made
+                        # nestResult[prop] an ARRAY; _addValue(array,
+                        # key, ...) sets a string PROPERTY on it that
+                        # JSON.stringify never emits (wave-12 seed
+                        # 7390) — the map-packed value silently drops
+                        continue
                     # the RAW expanded graph name is the map key — no
                     # compaction/relativization (compact.js:472-475).
                     # GRAPH-map adds consult compactArrays
@@ -781,6 +796,13 @@ def compact(active_ctx: ActiveContext, active_property: Optional[str],
                 elif "@graph" in container and "@index" in container \
                         and is_simple_graph(expanded_item):
                     map_object = nest_result.setdefault(nest_prop, {})
+                    if isinstance(map_object, list):
+                        # JS parity: a preceding graph-else item made
+                        # nestResult[prop] an ARRAY; _addValue(array,
+                        # key, ...) sets a string PROPERTY on it that
+                        # JSON.stringify never emits (wave-12 seed
+                        # 7390) — the map-packed value silently drops
+                        continue
                     key = expanded_item.get("@index") or compact_iri(
                         active_ctx, "@none", relative_to_vocab=True)
                     add_value_compact(map_object, key, compacted_item,
@@ -848,12 +870,29 @@ def compact(active_ctx: ActiveContext, active_property: Optional[str],
                         "(reference TypeError: null compacted value "
                         "reached index/id/type-map packing)",
                         "TypeError parity")
+                if isinstance(map_object, list):
+                    # JS parity: a preceding graph-else item made
+                    # nestResult[prop] an ARRAY; _addValue(array, key,
+                    # ...) sets a string PROPERTY on it that
+                    # JSON.stringify never emits (wave-12 seed 7390) —
+                    # the map-packed value silently drops (the null
+                    # TypeError mirror above still fires first, as the
+                    # reference crashes on the null compactedItem
+                    # regardless of the map target's type)
+                    continue
                 if "@language" in container:
                     key = expanded_item.get("@language") if \
                         is_value(expanded_item) else None
-                    if is_value(expanded_item) and \
-                            "@index" not in expanded_item:
-                        compacted_item = expanded_item["@value"]
+                    # the reference simplifies the COMPACTED item when
+                    # it has a literal '@value' key (graphTypes.isValue
+                    # on compactedItem, compact.js:549-552) — an
+                    # ALIASED @value key stays an object, and a kept
+                    # object with {@value, @index} simplifies to the
+                    # bare @value, dropping the preserved @index
+                    # (wave-12 seed 7172)
+                    if isinstance(compacted_item, dict) \
+                            and "@value" in compacted_item:
+                        compacted_item = compacted_item["@value"]
                 elif "@index" in container:
                     idx_key = td.get("@index", "@index")
                     if idx_key == "@index":

@@ -18,7 +18,7 @@ from .errors import JsonLdError
 from .keywords import (
     BCP47_RE, KEYWORDS, is_absolute_iri, is_keyword, is_keyword_like,
 )
-from .url import prepend_base
+from .url import DeletedBase, prepend_base
 
 # event codes that `safe` mode turns into errors (cf. reference
 # lib/events.js:103-142)
@@ -142,7 +142,7 @@ def _replay_events(options: dict, events: list) -> None:
 
 class ActiveContext:
     __slots__ = ("mappings", "base", "original_base", "has_ctx_base",
-                 "vocab",
+                 "ctx_base", "vocab",
                  "default_language", "default_direction", "processing_mode",
                  "previous_context", "_inverse", "_curie_index", "_uuid",
                  "is_initial", "protected_terms")
@@ -163,6 +163,11 @@ class ActiveContext:
         # `'@base' in activeCtx` (compact.js:926-936): explicit @base
         # gets the ./ keyword guard, a bare options base does not
         self.has_ctx_base = False
+        # the raw context-@base SLOT (activeCtx['@base']): chained by
+        # later relative @base layers and re-resolved against the
+        # OPTIONS base at use time (context.js:1136-1143,
+        # compact.js:926-936); only meaningful when has_ctx_base
+        self.ctx_base = None
         self.vocab: Optional[str] = None
         self.default_language: Optional[str] = None
         self.default_direction: Optional[str] = None
@@ -184,6 +189,7 @@ class ActiveContext:
         c = ActiveContext(self.base, self.processing_mode)
         c.original_base = self.original_base
         c.has_ctx_base = self.has_ctx_base
+        c.ctx_base = self.ctx_base
         c.mappings = dict(self.mappings)
         c.protected_terms = dict(self.protected_terms)
         c.vocab = self.vocab
@@ -395,6 +401,16 @@ def process_context(active_ctx: ActiveContext, local_ctx, options: dict,
         result = result.clone()
         result._inverse = None
 
+        # the reference tracks handled keywords in the `defined` map
+        # shared with the term loop (context.js:163-397): each keyword
+        # block marks its key True; the term loop has NO skip-list, so
+        # a keyword key NOT marked (e.g. one merged in by @import, or
+        # a FALSY top-level @protected — defined.set('@protected',
+        # ctx['@protected'] || false), context.js:395) reaches
+        # createTermDefinition and throws keyword-redefinition /
+        # 'cyclic IRI mapping' respectively
+        defined: dict[str, bool] = {}
+
         # @version
         if "@version" in ctx:
             v = ctx["@version"]
@@ -409,56 +425,47 @@ def process_context(active_ctx: ActiveContext, local_ctx, options: dict,
                     "@version not supported in JSON-LD 1.0 mode",
                     "processing mode conflict")
             result.processing_mode = "json-ld-1.1"
-
-        # @import (1.1)
-        if "@import" in ctx:
-            imp = ctx["@import"]
-            if not _ctx_1_1(result):
-                raise JsonLdError("@import requires JSON-LD 1.1.",
-                                  "invalid context entry")
-            if not isinstance(imp, str):
-                raise JsonLdError("@import must be a string.",
-                                  "invalid @import value")
-            resolver = options.get("context_resolver")
-            if resolver is None:
-                raise JsonLdError("No context resolver for @import.",
-                                  "loading remote context failed")
-            url = prepend_base(
-                options.get("_context_base", options.get("base")), imp)
-            imported = resolver.resolve(url)["context"]
-            if not isinstance(imported, dict):
-                raise JsonLdError(
-                    "@import must reference a context object.",
-                    "invalid remote context")
-            if "@import" in imported:
-                raise JsonLdError(
-                    "imported context must not include @import.",
-                    "invalid context entry")
-            merged = dict(imported)
-            merged.update(ctx)
-            ctx = merged
+            defined["@version"] = True
 
         # @base — only honored in non-remote (top-level) contexts per spec;
         # we honor it whenever present (the reference does the same for
         # embedded contexts)
         if "@base" in ctx:
             base = ctx["@base"]
+            # capture the previous slot BEFORE marking this layer —
+            # has_ctx_base may already be True from an earlier layer
+            had_ctx_base = result.has_ctx_base
             result.has_ctx_base = True
+            # reference context.js:195-210: null and absolute pass
+            # through; ANY other string is "relative" (url.js:301
+            # isRelative = isString) and goes through prependBase —
+            # whose null-base arm returns the RELATIVE STRING verbatim
+            # as the new base (url.js:65-67); only non-strings throw
             if base is None:
-                result.base = None
+                slot = None
             elif not isinstance(base, str):
                 raise JsonLdError(
                     "@base must be a string or null.", "invalid base IRI")
-            elif base == "":
-                result.base = result.base
             elif is_absolute_iri(base):
-                result.base = base
+                slot = base
             else:
-                if result.base is None:
-                    raise JsonLdError(
-                        "Relative @base with no active base IRI.",
-                        "invalid base IRI")
-                result.base = prepend_base(result.base, base)
+                # a relative @base chains against the PREVIOUS SLOT
+                # value (context.js:201 prependBase(rval['@base'],
+                # base)): absent slot -> empty-base resolution
+                # (prependBase(undefined, ...)), null slot -> the
+                # relative string VERBATIM (url.js:65-67)
+                prev = (result.ctx_base if had_ctx_base
+                        else DeletedBase(""))
+                slot = prepend_base(prev, base)
+            result.ctx_base = slot
+            # effective EXPANSION base: a truthy slot re-resolves
+            # against the OPTIONS base at use time (context.js:
+            # 1136-1143 prependBase(options.base, activeCtx['@base']));
+            # falsy (null/'') keeps values unresolved — eager here
+            # because options.base is fixed for the context's lifetime
+            result.base = (prepend_base(result.original_base, slot)
+                           if slot else slot)
+            defined["@base"] = True
 
         # @vocab
         if "@vocab" in ctx:
@@ -485,6 +492,7 @@ def process_context(active_ctx: ActiveContext, local_ctx, options: dict,
                     emit_event(options, "relative @vocab reference",
                                f"Relative @vocab reference: {vocab!r}")
                 result.vocab = expanded
+            defined["@vocab"] = True
 
         # @language
         if "@language" in ctx:
@@ -500,6 +508,7 @@ def process_context(active_ctx: ActiveContext, local_ctx, options: dict,
                     emit_event(options or {}, "invalid @language value",
                                "@language value must be valid BCP47.")
                 result.default_language = lang.lower()
+            defined["@language"] = True
 
         # @direction
         if "@direction" in ctx:
@@ -516,6 +525,7 @@ def process_context(active_ctx: ActiveContext, local_ctx, options: dict,
                                   "invalid base direction")
             else:
                 result.default_direction = direction
+            defined["@direction"] = True
 
         if "@propagate" in ctx:
             if not _ctx_1_1(result):
@@ -524,13 +534,61 @@ def process_context(active_ctx: ActiveContext, local_ctx, options: dict,
             if not isinstance(ctx["@propagate"], bool):
                 raise JsonLdError("@propagate must be boolean.",
                                   "invalid @propagate value")
+            defined["@propagate"] = True
+
+        # @import (1.1) — processed AFTER @base/@vocab/@language/
+        # @direction/@propagate (context.js:329-390): imported keys
+        # merge into ctx only where absent, so an imported KEYWORD is
+        # never seen by the keyword handlers above — it falls into the
+        # term loop and throws keyword-redefinition (wave-12 parity;
+        # this also puts the @vocab validation BEFORE the @import one,
+        # corrupt fuzz seed 5361)
+        if "@import" in ctx:
+            imp = ctx["@import"]
+            if not _ctx_1_1(result):
+                raise JsonLdError("@import requires JSON-LD 1.1.",
+                                  "invalid context entry")
+            if not isinstance(imp, str):
+                raise JsonLdError("@import must be a string.",
+                                  "invalid @import value")
+            resolver = options.get("context_resolver")
+            if resolver is None:
+                raise JsonLdError("No context resolver for @import.",
+                                  "loading remote context failed")
+            url = prepend_base(
+                options.get("_context_base", options.get("base")), imp)
+            imported = resolver.resolve(url)["context"]
+            if not isinstance(imported, dict):
+                raise JsonLdError(
+                    "@import must reference a context object.",
+                    "invalid remote context")
+            if "@import" in imported:
+                raise JsonLdError(
+                    "imported context must not include @import.",
+                    "invalid context entry")
+            merged = dict(ctx)
+            for k, v in imported.items():
+                if k not in merged:
+                    merged[k] = v
+            ctx = merged
+            defined["@import"] = True
 
         protected_default = ctx.get("@protected", False)
+        # raw truthiness, reference context.js:395 — a FALSY value
+        # (false/0/'') leaves '@protected' un-skipped for the term
+        # loop, where it hits the defined-map cycle check
+        defined["@protected"] = bool(ctx["@protected"]) \
+            if "@protected" in ctx else True
 
-        defined: dict[str, bool] = {}
         for term in ctx.keys():
             if term in ("@base", "@vocab", "@language", "@direction",
-                        "@version", "@protected", "@propagate", "@import"):
+                        "@version", "@propagate", "@import"):
+                # keys the keyword handlers marked in `defined` are
+                # skipped there; anything else (an imported keyword)
+                # must flow into createTermDefinition
+                if defined.get(term):
+                    continue
+            if term == "@protected" and defined.get(term):
                 continue
             create_term_definition(
                 result, ctx, term, defined, options,

@@ -126,6 +126,11 @@ def frame_document(document, frame_doc, options: dict):
 
 
 def _get_frame_flag(frame, options, name):
+    """Reference _getFrameFlag (frame.js:419-439): the embed
+    coercion/validation (true->@once, false->@never, else must be a
+    known mode) runs on the resolved value — whether it came from the
+    frame OR from options — so an options.embed of true/false coerces
+    and an invalid options.embed throws exactly like an in-frame one."""
     key = "@" + name
     if key in frame:
         v = frame[key]
@@ -133,18 +138,21 @@ def _get_frame_flag(frame, options, name):
             v = v[0]
         if isinstance(v, dict) and "@value" in v:
             v = v["@value"]
-        if name == "embed":
-            if v is True:
-                return "@once"
-            if v is False:
-                return "@never"
-            if v in ("@always", "@never", "@link", "@once", "@first",
-                     "@last"):
-                return v
-            raise JsonLdError(f"Invalid @embed value: {v!r}",
-                              "invalid @embed value")
-        return bool(v)
-    return options.get(name if name != "embed" else "embed")
+        from_frame = True
+    else:
+        v = options.get(name)
+        from_frame = False
+    if name == "embed":
+        if v is True:
+            return "@once"
+        if v is False:
+            return "@never"
+        if v in ("@always", "@never", "@link", "@once", "@first",
+                 "@last"):
+            return v
+        raise JsonLdError(f"Invalid @embed value: {v!r}",
+                          "invalid @embed value")
+    return bool(v) if from_frame else v
 
 
 def _validate_frame_object(tf) -> None:

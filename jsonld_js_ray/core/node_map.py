@@ -169,15 +169,18 @@ def create_node_map(element, graph_map: dict, active_graph: str,
         el_id = element["@id"]
         if (not el_id and not isinstance(el_id, (dict, list))
                 and list_ is None
-                and (active_property is not None
-                     or isinstance(active_subject, dict))):
+                and active_property is not None
+                and not isinstance(active_subject, dict)):
             # embedded FALSY-@id objects are skipped (nodeMap.js:189-191:
             # `if('@id' in o && !o['@id']) continue`) — that includes
             # the EMPTY STRING, not just null. The skip lives ONLY in
             # the property-value loop: LIST items recurse straight into
-            # createNodeMap's node branch, so a falsy-@id list entry is
-            # KEPT ("" verbatim, non-string → fresh blank label;
-            # fuzz seed 1973)
+            # createNodeMap's node branch, and the @REVERSE item loop
+            # (nodeMap.js:120-133, active_subject = the referenced-node
+            # dict here) has no falsy check either — a {"@id": ""}
+            # under a reverse property becomes a verbatim "" subject
+            # (wave-12 fuzz seed 9114); non-string → fresh blank label
+            # (fuzz seed 1973)
             return
         if not isinstance(el_id, str):
             # a TOP-LEVEL node with a non-string @id is a blank node

@@ -926,6 +926,14 @@ def compare(op, ref, mine, strict_codes: bool = True):
             # mirrored raw crashes carry the reference's free-text
             # message, not a spec code; recursion depth differs by host
             return True
+        if "Maximum call stack size exceeded" in str(rc):
+            # the reference blew its stack (cyclic link output inside
+            # compaction) — a raw V8 crash with no spec code; which
+            # error surfaces first on a cycle is traversal-order
+            # dependent, so any error on this side agrees (wave-12
+            # link seed 1913: ref overflows, mine raises the genuine
+            # 'IRI confused with prefix' it meets on the way)
+            return True
         if op == "merge":
             # jsonld.merge expands all docs under Promise.all
             # (jsonld.js:791-795): when SEVERAL docs error, the code
