@@ -87,12 +87,12 @@ def expand(active_ctx: ActiveContext, active_property: Optional[str],
             emit_event(options, "free-floating scalar",
                        "Dropping free-floating scalar during expansion.")
             return None
-        if has_property_scoped_ctx:
-            # property-scoped contexts may redefine protected terms
-            # (reference expand.js:847-858 uses overrideProtected: true),
-            # same as the map branch below
-            active_ctx = process_context(active_ctx, property_scoped_ctx,
-                                         options, override_protected=True)
+        # NO property-scoped application here: the reference's scalar
+        # path (expand.js:90-115) goes straight to _expandValue — the
+        # key loop already expanded this value under the term context
+        # (termCtx, expand.js:846-858), so scalars carry the scoped
+        # context exactly ONCE while full objects re-apply it at their
+        # own expand entry and get it twice (wave-13 seeds 24899/24836)
         return _expand_value(active_ctx, active_property, element, options)
 
     # --- arrays ------------------------------------------------------------
@@ -123,12 +123,26 @@ def expand(active_ctx: ActiveContext, active_property: Optional[str],
     # 7) revert type-scoped context unless value of an id/index map entry or
     #    a value object / lone @id reference
     if active_ctx.previous_context is not None and not from_map:
-        expanded_keys = [
-            expand_iri(active_ctx, k, vocab_mode=True, options=options)
-            for k in element.keys()]
-        is_value_obj = "@value" in expanded_keys
-        is_lone_id = len(element) == 1 and expanded_keys == ["@id"]
-        if not is_value_obj and not is_lone_id:
+        # reference expand.js:169-196: reversion is the DEFAULT; the
+        # value/subject-reference exception only even gets CHECKED for
+        # elements with <= 2 keys and no raw '@context' key — a larger
+        # node carrying @value still reverts here (its deferred @value
+        # validation then runs under the reverted ctx; wave-13 fuzz
+        # seed 22713, where the inline @context of a corrupted 5-key
+        # node must apply over the REVERTED type-scoped context)
+        must_revert = True
+        keys_sorted = sorted(element.keys())
+        if len(keys_sorted) <= 2 and "@context" not in keys_sorted:
+            for k in keys_sorted:
+                ek = expand_iri(active_ctx, k, vocab_mode=True,
+                                options=options)
+                if ek == "@value":
+                    must_revert = False
+                    break
+                if ek == "@id" and len(keys_sorted) == 1:
+                    must_revert = False
+                    break
+        if must_revert:
             active_ctx = active_ctx.previous_context
 
     # 8) property-scoped context (override protected)
@@ -597,37 +611,43 @@ def _expand_object(active_ctx, active_property, element, result, nests,
         term_def = active_ctx.mappings.get(key) or {}
         container = term_def.get("@container", [])
 
+        # EVERY value expands under the key's TERM context
+        # (expand.js:846-858 computes termCtx unconditionally and
+        # passes it to all branches): a full object value then
+        # RE-applies the property-scoped context at its own expand
+        # entry (expand.js:202-209) — legitimately twice, so a
+        # relative scoped @base chains over itself — while a scalar
+        # value gets it exactly once, here (wave-13 seed 24836)
+        term_ctx = active_ctx
+        if "@context" in term_def:
+            term_ctx = process_context(
+                active_ctx, term_def["@context"], options,
+                override_protected=True)
+        term_def_scoped = term_ctx.mappings.get(key) or {}
+
         if "@language" in container and isinstance(value, dict):
-            expanded_value = _expand_language_map(active_ctx, key, value,
-                                                  term_def, options)
+            expanded_value = _expand_language_map(term_ctx, key, value,
+                                                  term_def_scoped, options)
         elif (isinstance(value, dict)
               and any(c in container for c in ("@index", "@type", "@id"))):
             # container maps take precedence over @json coercion
             # (expand.js:860-918: the @json branch is the FALLBACK else;
             # an index map under a @json term expands per entry, with
-            # @json applying to each scalar entry value).
-            # the map expands under the TERM context (expand.js:846-858
-            # computes termCtx and passes it as _expandIndexMap's
-            # activeCtx): when the term carries a scoped context, that
-            # processing goes through the reference's direction-dropping
-            # clone, so index-key value expansion loses the default
-            # @direction exactly like language maps do (fuzz seed 1938)
-            term_ctx = active_ctx
-            if "@context" in term_def:
-                term_ctx = process_context(
-                    active_ctx, term_def["@context"], options,
-                    override_protected=True)
+            # @json applying to each scalar entry value). The @index
+            # term name is read off the TERM context (expand.js:868)
+            # while propertyIndex expands under the OUTER one
             expanded_value = _expand_index_map(
-                term_ctx, key, value, term_def, container, options,
+                term_ctx, key, value, term_def_scoped, container, options,
                 outer_ctx=active_ctx)
         elif term_def.get("@type") == "@json":
+            # the @json gate reads the OUTER context (expand.js:919)
             expanded_value = {"@value": value, "@type": "@json"}
         else:
             is_list_container = "@list" in container
             if is_list_container and (active_property == "@graph"
                                       or active_property is None):
                 is_list_container = False
-            expanded_value = expand(active_ctx, key, value, options,
+            expanded_value = expand(term_ctx, key, value, options,
                                     inside_list=is_list_container)
 
         if expanded_value is None and expanded_property != "@value":
@@ -876,16 +896,21 @@ def _expand_index_map(active_ctx, key, value, term_def, container, options,
         active_ctx = active_ctx.previous_context.clone()
     for idx in sorted(value.keys()):
         items = value[idx]
-        map_ctx = active_ctx
-        if "@id" in container or "@type" in container:
+        if "@type" in container:
+            # a type-map key's scoped context is processed INTO the
+            # loop's active context (expand.js:1198-1207 REASSIGNS
+            # activeCtx) — it accumulates for every later sorted key
+            # and its values, not just this entry (wave-13 seed 2386:
+            # a scoped @vocab from key "alpha" re-vocabs key "id")
             idx_def = active_ctx.mappings.get(idx)
-            if ("@type" in container and idx_def
-                    and "@context" in idx_def):
-                map_ctx = process_context(active_ctx, idx_def["@context"],
-                                          options, propagate=False)
+            if idx_def and "@context" in idx_def:
+                active_ctx = process_context(active_ctx,
+                                             idx_def["@context"],
+                                             options, propagate=False)
         if not isinstance(items, list):
             items = [items]
-        expanded_items = expand(map_ctx, key, items, options, from_map=True)
+        expanded_items = expand(active_ctx, key, items, options,
+                                from_map=True)
         expanded_idx = expand_iri(active_ctx, idx, vocab_mode=True,
                                   options=options)
         for item in expanded_items:

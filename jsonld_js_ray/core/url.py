@@ -173,41 +173,39 @@ def prepend_base(base, iri: str) -> str:
 def remove_base(base, iri: str) -> str:
     """Make ``iri`` relative to ``base`` where possible (compaction helper).
 
-    Mirrors the observable behavior of /root/reference/lib/url.js:230-274.
-    """
+    Faithful mirror of the reference removeBase (url.js:155-223): the
+    root is the RAW STRING (protocol||'')+'//'+(authority||'') of the
+    parsed base and membership is a plain string-prefix test — so a
+    RELATIVE base (root '//') leaves almost every IRI whole (wave-13
+    seed 24899: a scoped relative @base under compactToRelative=false),
+    a scheme-only base like 'urn:x' never relativizes anything (root
+    'urn://'), and prefix-colliding authorities DO relativize
+    ('https://x/y' vs 'https://xyz/w' -> 'yz/w' — reference quirk).
+    Segment matching runs on normalizedPath (dot segments removed);
+    the last-segment rule uses JS truthiness, so an EMPTY query or
+    fragment counts as absent (url.js:186)."""
     if base is None:
         return iri
-    if base == "":
-        # DELETED/empty base (url.js:240-246: root becomes '//' unless
-        # the IRI is a network-path reference): plain IRIs return
-        # unchanged; a '//'-reference strips its authority segment-wise
-        # against the empty base path (observed: '//net.example/x'
-        # relativizes to 'x')
-        if not iri.startswith("//"):
-            return iri
-        r = parse_url(iri)
-        segs = [s for s in remove_dot_segments(r.path).split("/") if s]
-        rval = "/".join(segs)
-        if r.has_query:
-            rval += "?" + (r.query or "")
-        if r.has_fragment:
-            rval += "#" + (r.fragment or "")
-        return rval if rval else "./"
-    b = parse_url(base) if isinstance(base, str) else base
-    r = parse_url(iri)
-    if b.scheme != r.scheme:
+    b = parse_url(base)
+    if base != "":
+        root = (((b.scheme + ":") if b.scheme is not None else "")
+                + "//"
+                + (b.authority if b.has_authority and b.authority
+                   is not None else ""))
+    else:
+        # empty base (url.js:168-171): root stays '' only for
+        # network-path references; every other IRI gets root '//',
+        # fails the prefix test, and returns unchanged
+        root = "" if iri.startswith("//") else "//"
+    if not iri.startswith(root):
         return iri
-    root = (b.authority if b.has_authority else None)
-    r_auth = (r.authority if r.has_authority else None)
-    if root != r_auth:
-        return iri
-
-    base_segments = b.path.split("/")
-    iri_segments = r.path.split("/")
+    rel = parse_url(iri[len(root):])
+    base_segments = remove_dot_segments(b.path).split("/")
+    iri_segments = remove_dot_segments(rel.path).split("/")
     # the final segment may also be consumed when the IRI carries a
-    # fragment or query (url.js:261: `last = (rel.fragment || rel.query)
-    # ? 0 : 1`) — so <base>#frag relativizes to just "#frag"
-    last = 0 if (r.has_fragment or r.has_query) else 1
+    # NON-EMPTY fragment or query (url.js:186 JS truthiness:
+    # `last = (rel.fragment || rel.query) ? 0 : 1`)
+    last = 0 if (rel.fragment or rel.query) else 1
     while (len(base_segments) > 0 and len(iri_segments) > last
            and base_segments[0] == iri_segments[0]):
         base_segments.pop(0)
@@ -219,10 +217,10 @@ def remove_base(base, iri: str) -> str:
         base_segments.pop()
         rval += "../" * len(base_segments)
     rval += "/".join(iri_segments)
-    if r.has_query:
-        rval += "?" + (r.query or "")
-    if r.has_fragment:
-        rval += "#" + (r.fragment or "")
+    if rel.has_query:
+        rval += "?" + (rel.query or "")
+    if rel.has_fragment:
+        rval += "#" + (rel.fragment or "")
     if rval == "":
         rval = "./"
     return rval

@@ -96,8 +96,28 @@ def gen_context(rng: random.Random) -> dict:
             td["@type"] = coerce
         if rng.random() < 0.15 and "@type" not in td:
             td["@language"] = rng.choice(LANGS + [None])
+        if rng.random() < 0.08 and "@type" not in td:
+            # wave-13: term-level @direction (with/without @language)
+            td["@direction"] = rng.choice(["ltr", "rtl", None])
         if rng.random() < 0.1:
             td["@context"] = {"inner" + term: EX + "scoped/" + term}
+            if rng.random() < 0.35:
+                # wave-13: scoped contexts carrying KEYWORD state —
+                # @base/@vocab/@language/@direction layered over the
+                # outer context for the term's subtree
+                kw = rng.random()
+                if kw < 0.3:
+                    td["@context"]["@base"] = rng.choice(
+                        ["http://scoped.example/b/", "sub/sc/", None])
+                elif kw < 0.55:
+                    td["@context"]["@vocab"] = rng.choice(
+                        [EX + "scvocab/", "", None])
+                elif kw < 0.8:
+                    td["@context"]["@language"] = rng.choice(
+                        LANGS + [None])
+                else:
+                    td["@context"]["@direction"] = rng.choice(
+                        ["ltr", "rtl", None])
         if rng.random() < 0.1 and container is None:
             td.pop("@id")
             td["@reverse"] = EX + "rev/" + term
@@ -113,6 +133,12 @@ def gen_context(rng: random.Random) -> dict:
         ctx["meta"] = "@nest"
         ctx["nested" + rng.choice(TERMS)] = {
             "@id": EX + "nested", "@nest": "meta"}
+        if rng.random() < 0.25:
+            # wave-13: a SECOND nest alias whose routed term points at
+            # the FIRST alias's name (nest-through-nest shapes)
+            ctx["meta2"] = "@nest"
+            ctx["nested2" + rng.choice(TERMS)] = {
+                "@id": EX + "nested2", "@nest": "meta2"}
     if rng.random() < 0.15:
         ctx["id"] = "@id"
     if rng.random() < 0.1:
@@ -504,6 +530,16 @@ def gen_frame(seed: int, doc: dict) -> dict:
             inner[rng.choice(TERMS)] = {}
         else:
             inner["@id"] = rng.choice(["urn:x", "urn:y", {}])
+        # wave-13: per-SUBFRAME flags override the top-level/options
+        # ones for that recursion (frame.js:84-86 reads flags off each
+        # frame object)
+        if rng.random() < 0.3:
+            inner["@embed"] = rng.choice(["@once", "@always", "@never",
+                                          "@link", True, False])
+        if rng.random() < 0.2:
+            inner["@explicit"] = rng.choice([True, False])
+        if rng.random() < 0.15:
+            inner["@requireAll"] = rng.choice([True, False])
         frame[rng.choice(TERMS)] = inner
     elif wr < 0.6:
         # value pattern
@@ -567,10 +603,14 @@ def gen_op_options(seed: int, op: str) -> dict:
         opts["_omit_base"] = True
     if rng.random() < 0.15:
         opts["processingMode"] = "json-ld-1.0"
-    if rng.random() < 0.1:
-        # safe mode promotes lossy-event warnings to errors
-        # (events.js:8-33; the fuzz compare is error-PRESENCE, so both
-        # engines must agree on WHICH inputs trip an event)
+    # safe mode promotes lossy-event warnings to errors (events.js:
+    # 8-33). Decided PER SEED, not per op (like the base options):
+    # jsonld.js's shared inline-context LRU caches processed contexts
+    # ACROSS ops in one node process and replays captured events on
+    # hits — mixing safe across a seed's ops makes a scoped-context
+    # error surface wrapped on first processing but raw on a replay
+    # (wave-13 seed 372), a batch-harness artifact, not semantics
+    if random.Random(seed * 89 + 31).random() < 0.1:
         opts["safe"] = True
     if rng.random() < 0.15:
         # expandContext is resolved and layered under the document's
@@ -885,8 +925,10 @@ def run_mine(op: str, doc, options: dict):
                                           options["_ctx"],
                                           dict(options))}
         if op in ("frame", "frameX", "frameC"):
-            return {"result": api.frame(doc, options["_frame"],
-                                        dict(options))}
+            # a per-subframe @embed:@link makes the framed output a
+            # shared/cyclic structure — cut cycles like the link op
+            return {"result": decycle(api.frame(doc, options["_frame"],
+                                                dict(options)), set())}
         if op == "merge":
             return {"result": api.merge(options["_docs"],
                                         options.get("_ctx"),
@@ -1167,8 +1209,15 @@ def main():
                     reqs.append({"op": op, "input": nqs[s],
                                  "options": op_opts})
                 else:
+                    # canonize forces safe:true internally
+                    # (jsonld.js:571) — isolate it from the shared
+                    # inline-context LRU, whose cached event REPLAY
+                    # would surface a scoped-context safe error with
+                    # the raw event code instead of the first-run
+                    # 'invalid scoped context' wrap (seed 27526; a
+                    # batch artifact like the base/safe stickiness)
                     reqs.append({"op": op, "input": docs[s],
-                                 "options": op_opts})
+                                 "options": op_opts, "fresh": True})
             else:
                 reqs.append({"op": op, "input": docs[s],
                              "options": op_opts})

@@ -85,7 +85,11 @@ async function run(req) {
         result = await jsonld.flatten(req.input, req.context !== undefined ? req.context : null, options);
         break;
       case 'frame':
-        result = await jsonld.frame(req.input, req.frame, options); break;
+        // a per-subframe @embed:@link makes the framed output a
+        // shared/cyclic in-memory structure -- cut cycles like link
+        result = decycle(
+          await jsonld.frame(req.input, req.frame, options), new Set());
+        break;
       case 'toRDF': {
         options.format = 'application/n-quads';
         result = await jsonld.toRDF(req.input, options); break;
