@@ -120,7 +120,15 @@ def create_node_map(element, graph_map: dict, active_graph: str,
         # crash (fuzz seed 7981 reaches toRDF with @type [null])
         pass
     elif isinstance(el_types, list):
-        if not is_value(element):
+        if is_list(element):
+            # a @list WRAPPER's @type never reaches any scan: the
+            # property loop re-wraps lists as a fresh {'@list': _list},
+            # discarding extra keys (nodeMap.js:207-214) — no crash,
+            # no member rename, no issuer side-effect (wave-13 fuzz
+            # seed 10154: a type-map key expanding to null leaves
+            # "@type": [null] on a prepended list object)
+            el_types = None
+        elif not is_value(element):
             # the SUBJECT path's early bnode-type scan calls
             # type.indexOf on every member (nodeMap.js:86-92): a null
             # @type member (injected by a type-map key that expanded to
@@ -135,8 +143,9 @@ def create_node_map(element, graph_map: dict, active_graph: str,
                         "Cannot read properties of null (reading "
                         "'indexOf') (reference TypeError: non-string "
                         "@type member in node map)", "TypeError parity")
-        el_types = [issuer.get_id(t) if isinstance(t, str)
-                    and t.startswith("_:") else t for t in el_types]
+        if el_types is not None:
+            el_types = [issuer.get_id(t) if isinstance(t, str)
+                        and t.startswith("_:") else t for t in el_types]
     elif isinstance(el_types, str):
         el_types = [issuer.get_id(el_types)] \
             if el_types.startswith("_:") else [el_types]

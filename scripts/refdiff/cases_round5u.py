@@ -94,3 +94,18 @@ c("expand", "t0509", "expand",
          "@type": "T1",
          "alpha": {"val2": "x", "@language": "en"}},
   options={"base": _BASE})
+
+
+c("flatten", "f031", "flatten",
+  "a @list wrapper's @type ([null] from a nulled type-map key) never "
+  "reaches the node-map type scan: the property loop re-wraps lists "
+  "discarding extra keys",
+  input={"@context": {"@version": 1.1, "@vocab": V,
+                      "delta": {"@id": V + "delta",
+                                "@container": ["@type", "@set"],
+                                "@type": "@none"},
+                      "nulled": None,
+                      "lst": {"@id": V + "lst", "@container": "@list"}},
+         "@id": "urn:n1",
+         "delta": {"nulled": {"lst": [9007199254740991, 1.0]}}},
+  options={"base": _BASE})
