@@ -568,15 +568,11 @@ def compact(active_ctx: ActiveContext, active_property: Optional[str],
             if exp_obj is element:
                 return compacted
 
+    # ENTRY application of the property-scoped context (compact.js:92;
+    # presence matters: "@context": null nullifies rather than being
+    # skipped) — value objects and subject references compact with
+    # exactly this ONE application
     td0 = active_ctx.mappings.get(active_property) or {}
-
-    # previous context reversion for non-value/non-reference objects
-    if active_ctx.previous_context is not None:
-        if not is_value(element) and not is_subject_reference(element):
-            active_ctx = active_ctx.previous_context
-
-    # property-scoped context (presence matters: "@context": null
-    # nullifies rather than being skipped)
     if "@context" in td0:
         active_ctx = process_context(active_ctx, td0["@context"], options,
                                      override_protected=True)
@@ -594,12 +590,29 @@ def compact(active_ctx: ActiveContext, active_property: Optional[str],
 
     # a list object under a @list-container property compacts to a bare
     # array, recursively — nested lists become arrays of arrays
-    # (cf. reference compact.js:130-141)
+    # (cf. reference compact.js:130-141; the container is read off the
+    # POST-entry-application context)
     if is_list(element):
         container = td0.get("@container") or []
         if "@list" in container:
             return compact(active_ctx, active_property, element["@list"],
                            options)
+
+    # full objects: revert any type-scoped context, then apply the
+    # property-scoped context AGAIN over the reverted context
+    # (compact.js:150-170: inputCtx is the post-entry-application ctx,
+    # the scoped ctx is READ from it, and with no previous context the
+    # revert is a no-op — so the scoped context composes with ITSELF,
+    # chaining a relative scoped @base twice exactly like expansion's
+    # object-entry re-application; wave-13 seed 33558)
+    input_ctx = active_ctx
+    if active_ctx.previous_context is not None:
+        active_ctx = active_ctx.previous_context
+    td_in = input_ctx.mappings.get(active_property) or {}
+    if "@context" in td_in:
+        active_ctx = process_context(active_ctx, td_in["@context"], options,
+                                     override_protected=True)
+    td0 = active_ctx.mappings.get(active_property) or {}
 
     inside_reverse = active_property == "@reverse"
     result: dict[str, Any] = {}

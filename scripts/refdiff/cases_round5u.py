@@ -109,3 +109,21 @@ c("flatten", "f031", "flatten",
          "@id": "urn:n1",
          "delta": {"nulled": {"lst": [9007199254740991, 1.0]}}},
   options={"base": _BASE})
+
+
+c("compact", "c222", "compact",
+  "full-object compaction applies the property-scoped context at "
+  "entry AND again after the (no-op) revert: a relative scoped @base "
+  "chains twice, so relativization climbs out with ../..",
+  input={"@context": {"@version": 1.1, "@vocab": V,
+                      "gamma": {"@id": V + "gamma",
+                                "@type": "@id",
+                                "@context": {"@base": "sub/sc/",
+                                             "inner": V + "sg"}}},
+         "@id": "urn:n1",
+         "gamma": {"@id": "leaf", "alpha": "x"}},
+  context={"@version": 1.1, "@vocab": V,
+           "gamma": {"@id": V + "gamma", "@type": "@id",
+                     "@context": {"@base": "sub/sc/",
+                                  "inner": V + "sg"}}},
+  options={"base": _BASE})
