@@ -1022,11 +1022,15 @@ def _nest_target(active_ctx, item_active_property, result):
 
 
 def add_value_compact(obj: dict, key: str, value, as_array: bool):
-    # array values add element-wise, like the reference's addValue
-    # (util.js:263-274) — so a single-element array collapses to its
-    # element when as_array is False (e.g. a simple @graph container)
-    if isinstance(value, list) and key not in obj:
-        if len(value) == 0 and as_array:
+    # array values add ELEMENT-WISE and RECURSIVELY, like the
+    # reference's addValue (util.js:263-274) — the array branch runs
+    # first regardless of key presence, so nested arrays flatten to
+    # any depth and EMPTY arrays at any level vanish (wave-14 seed 11:
+    # a @json payload [[], {}, [[]], 1.0] addValue'd into an index map
+    # becomes [{}, 1.0]); a single-element array thus collapses to its
+    # element when as_array is False
+    if isinstance(value, list):
+        if len(value) == 0 and as_array and key not in obj:
             obj[key] = []
         for v in value:
             add_value_compact(obj, key, v, as_array)
@@ -1036,10 +1040,7 @@ def add_value_compact(obj: dict, key: str, value, as_array: bool):
         if not isinstance(existing, list):
             existing = [existing]
             obj[key] = existing
-        if isinstance(value, list):
-            existing.extend(value)
-        else:
-            existing.append(value)
+        existing.append(value)
     else:
         if as_array and not isinstance(value, list):
             value = [value]

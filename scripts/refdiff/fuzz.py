@@ -222,9 +222,15 @@ def gen_value(rng: random.Random, depth: int):
             out["@list"] = [{"@list": [gen_value(rng, 0)]}]  # nested list
         return out
     if r < 0.65:
-        # explicit @json literal (raw JSON payload survives verbatim)
+        # explicit @json literal (raw JSON payload survives verbatim;
+        # toRDF serializes it JCS-canonically — wave-14 adds ES-number
+        # and unicode-key corners to stress the canonical form)
         return {"@value": rng.choice(
-            [{"k": [1, "s", None]}, [True, {"x": 0.5}], None, 42]),
+            [{"k": [1, "s", None]}, [True, {"x": 0.5}], None, 42,
+             {"n": [0.1, 1e21, -0.0, 1e-7, 2 ** 53 - 1, -1e300]},
+             {"üñ": {"": [1e100, 5.5e-10, 333.333]},
+              "b\"q\\": "\t\n"},
+             [[], {}, [[]], 1.0, -7e-22]]),
             "@type": "@json"}
     if depth <= 0:
         return "leaf"
