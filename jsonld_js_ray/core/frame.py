@@ -478,6 +478,13 @@ def _match_frame(state, subjects, frame, parent, active_property,
                     sorted(state["graphMap"][sid].keys()),
                     [subframe], output, "@graph", embedded=False)
 
+        # if the frame has @included, recurse over its sub-frame
+        # (frame.js:197-202): candidates are the SAME subject list this
+        # level was called with; matches land under '@included'
+        if "@included" in frame_obj:
+            _match_frame(dict(state), subjects, frame_obj["@included"],
+                         output, "@included", embedded=False)
+
         for prop in sorted(subject.keys()):
             objects = subject[prop]
             if is_keyword(prop):

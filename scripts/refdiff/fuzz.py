@@ -571,6 +571,12 @@ def gen_frame(seed: int, doc: dict) -> dict:
             frame["@graph"] = g["@graph"]
         else:
             frame[rng.choice(TERMS)] = g
+    elif wr < 0.9:
+        # wave-15: @included subframes (frame.js handles @included
+        # blocks in matching and output)
+        frame["@included"] = [rng.choice(
+            [{}, {"@type": rng.choice(TYPES)},
+             {rng.choice(TERMS): {}}])]
     return frame
 
 
@@ -668,6 +674,9 @@ def gen_op_options(seed: int, op: str) -> dict:
             # gates the framed-output 0/1-element collapse
             # (jsonld.js:188-195 via opts.graph=!omitGraph)
             opts["compactArrays"] = False
+        if rng.random() < 0.12:
+            # wave-15: global explicit flag (default @explicit)
+            opts["explicit"] = True
     return opts
 
 
