@@ -68,6 +68,14 @@ def gen_context(rng: random.Random) -> dict:
     if rng.random() < 0.12:
         # explicitly NULLED term: blocks the vocab fallback
         ctx[rng.choice(TERMS)] = None
+    if rng.random() < 0.07:
+        # wave-16: {"@id": null} term definition (nulls like a bare
+        # null term, but via the object form)
+        ctx[rng.choice(TERMS)] = {"@id": None}
+    if rng.random() < 0.05:
+        # wave-16: a term whose @id is keyword-LIKE (reserved-shaped
+        # IRI value) — dropped with a 'reserved @id value' event
+        ctx[rng.choice(TERMS)] = {"@id": "@gotcha"}
     if rng.random() < 0.1:
         # term-chain @id: a term whose @id is ANOTHER term name
         # (resolves through the term, then vocab)
@@ -101,6 +109,10 @@ def gen_context(rng: random.Random) -> dict:
             td["@direction"] = rng.choice(["ltr", "rtl", None])
         if rng.random() < 0.1:
             td["@context"] = {"inner" + term: EX + "scoped/" + term}
+            if rng.random() < 0.12:
+                # wave-16: @version inside a scoped context (pins 1.1
+                # per scope; conflicts under a 1.0 processing mode)
+                td["@context"]["@version"] = 1.1
             if rng.random() < 0.35:
                 # wave-13: scoped contexts carrying KEYWORD state —
                 # @base/@vocab/@language/@direction layered over the
