@@ -555,8 +555,12 @@ def process_context(active_ctx: ActiveContext, local_ctx, options: dict,
             if resolver is None:
                 raise JsonLdError("No context resolver for @import.",
                                   "loading remote context failed")
-            url = prepend_base(
-                options.get("_context_base", options.get("base")), imp)
+            # a RELATIVE @import resolves against OPTIONS.BASE — the
+            # document base, NOT the enclosing remote context's URL
+            # (context.js:347-352 passes base: options.base; the
+            # fetch-time context-URL rewrite does not cover @import) —
+            # wave-16 probe, fixture via remote leg
+            url = prepend_base(options.get("base"), imp)
             imported = resolver.resolve(url)["context"]
             if not isinstance(imported, dict):
                 raise JsonLdError(

@@ -769,8 +769,17 @@ def gen_remote_case(seed: int) -> tuple[dict, dict]:
         # @import pulls a 1.0-shaped context into a 1.1 wrapper
         imported = {t + "Imp": EX + "imp/" + t
                     for t in rng.sample(TERMS, 2)}
-        snapshot[CTX_BASE + "imported"] = {"@context": imported}
-        mid["@import"] = CTX_BASE + "imported"
+        if rng.random() < 0.3:
+            # wave-16: RELATIVE @import URL — resolves against
+            # OPTIONS.BASE (the document base), NOT the enclosing
+            # remote context's URL (context.js:347-352; the fetch-time
+            # context-URL rewrite does not cover @import)
+            snapshot["https://fuzz.example/rel-imported"] = {
+                "@context": imported}
+            mid["@import"] = "rel-imported"
+        else:
+            snapshot[CTX_BASE + "imported"] = {"@context": imported}
+            mid["@import"] = CTX_BASE + "imported"
     if rng.random() < 0.4:
         # term-scoped REMOTE context
         mid["scopedRemote"] = {
