@@ -124,6 +124,16 @@ class ContextResolver:
         if context_url:
             ctx = ctx if isinstance(ctx, list) else [ctx]
             ctx = ctx + [context_url]
+        # fetch-time URL rewrite (reference ContextResolver.js:120-122,
+        # 228-262 _resolveContextUrls): every nested '@context' STRING —
+        # including term-scoped context URLs at any depth — absolutizes
+        # against the remote document's URL here, so use-time
+        # resolution never sees a relative scoped URL. '@import' values
+        # are deliberately NOT rewritten (they resolve against
+        # options.base at processing time, context.js:347-352).
+        import copy as _copy
+        ctx = _copy.deepcopy(ctx)  # the snapshot is shared state
+        _resolve_context_urls(ctx, url)
         return {"context": ctx, "documentUrl": url}
 
     def get_processed(self, key):
@@ -131,3 +141,45 @@ class ContextResolver:
 
     def put_processed(self, key, value):
         self._processed.put(key, value)
+
+
+def _resolve_context_urls(ctx, base: str) -> None:
+    """Mirror of the reference's _resolveContextUrls
+    (ContextResolver.js:228-262), applied to the VALUE of '@context':
+    absolutize string entries (top-level handled by the caller passing
+    the ctx value), array string elements, and — recursing through
+    every term of an object context — nested scoped-context strings.
+    Mutates in place (callers pass a private deep copy)."""
+    from .url import prepend_base
+
+    def walk_ctx_value(v):
+        # v is the VALUE of some '@context' key
+        if isinstance(v, list):
+            for i, el in enumerate(v):
+                if isinstance(el, str):
+                    v[i] = prepend_base(base, el)
+                elif isinstance(el, dict):
+                    walk_obj(el)
+            return v
+        if isinstance(v, dict):
+            walk_obj(v)
+        return v
+
+    def walk_obj(obj):
+        # obj is an OBJECT context: recurse into term definitions
+        for term, td in obj.items():
+            if isinstance(td, dict) and "@context" in td:
+                inner = td["@context"]
+                if isinstance(inner, str):
+                    td["@context"] = prepend_base(base, inner)
+                else:
+                    walk_ctx_value(inner)
+
+    if isinstance(ctx, list):
+        for i, el in enumerate(ctx):
+            if isinstance(el, str):
+                ctx[i] = prepend_base(base, el)
+            elif isinstance(el, dict):
+                walk_obj(el)
+    elif isinstance(ctx, dict):
+        walk_obj(ctx)

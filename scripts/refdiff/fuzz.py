@@ -781,10 +781,17 @@ def gen_remote_case(seed: int) -> tuple[dict, dict]:
             snapshot[CTX_BASE + "imported"] = {"@context": imported}
             mid["@import"] = CTX_BASE + "imported"
     if rng.random() < 0.4:
-        # term-scoped REMOTE context
-        mid["scopedRemote"] = {
-            "@id": EX + "scopedRemote",
-            "@context": CTX_BASE + f"leaf{seed % 7}"}
+        # term-scoped REMOTE context; 30% RELATIVE — rewritten at
+        # FETCH time against the remote doc's URL (ContextResolver.js:
+        # 120-122/_resolveContextUrls), unlike @import
+        if rng.random() < 0.3:
+            mid["scopedRemote"] = {
+                "@id": EX + "scopedRemote",
+                "@context": f"leaf{seed % 7}"}
+        else:
+            mid["scopedRemote"] = {
+                "@id": EX + "scopedRemote",
+                "@context": CTX_BASE + f"leaf{seed % 7}"}
     for t in rng.sample(TERMS, rng.randint(1, 2)):
         mid[t] = (EX + "mid/" + t if rng.random() < 0.7
                   else {"@id": EX + "mid/" + t,
