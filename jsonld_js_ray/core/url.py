@@ -58,6 +58,16 @@ def parse_url(url: str) -> ParsedUrl:
     scheme = m.group(2)
     has_authority = m.group(3) is not None
     authority = m.group(4) if has_authority else None
+    # the reference's parser strips DEFAULT PORTS (url.js:44-49:
+    # https:443 / http:80 — a first-occurrence string replace on the
+    # authority), so base resolution and relativization treat
+    # 'https://h.example:443/' and 'https://h.example/' as the same
+    # root (wave-16 probe)
+    if authority:
+        if scheme == "https" and authority.endswith(":443"):
+            authority = authority.replace(":443", "", 1)
+        elif scheme == "http" and authority.endswith(":80"):
+            authority = authority.replace(":80", "", 1)
     path = m.group(5) or ""
     has_query = m.group(6) is not None
     query = m.group(7) if has_query else None
