@@ -245,7 +245,10 @@ def compact_iri(active_ctx: ActiveContext, iri: Optional[str],
         # "@null" payload gets no index/id/type-map candidates and can
         # fall through to IRI compaction (compact.js:711-713)
         if isinstance(value, dict) and "@preserve" in value:
-            value = value["@preserve"][0]
+            # JS `[][0]` is undefined, not a crash — an EMPTY preserve
+            # behaves like no wrapped value at all
+            pv = value["@preserve"]
+            value = pv[0] if pv else None
         # most-specific container candidates come BEFORE the
         # type/language chain (compact.js:716-740): graph values get
         # the @graph family; every OTHER non-value object — including
@@ -687,8 +690,12 @@ def compact(active_ctx: ActiveContext, active_property: Optional[str],
         if expanded_property == "@preserve":
             compacted = compact(active_ctx, active_property,
                                 expanded_value, options)
-            if not (isinstance(compacted, list) and not compacted):
-                result["@preserve"] = compacted
+            # keep an EMPTY @preserve too: this port cleans @preserve
+            # AFTER compaction, and the cleanup must see the wrapper to
+            # mirror the reference's `['@preserve'][0]` → undefined →
+            # property-drops semantics (wave-17 seeds 113/790, an
+            # empty @default)
+            result["@preserve"] = compacted
             continue
 
         if expanded_property == "@index":

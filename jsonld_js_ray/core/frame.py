@@ -594,7 +594,14 @@ def _match_frame(state, subjects, frame, parent, active_property,
                                       and default.get("@value") == "@null"):
                 output[prop] = [{"@preserve": ["@null"]}]
             else:
-                output[prop] = [{"@preserve": [copy.deepcopy(default)]}]
+                # reference frame.js:287-293: the preserve payload is
+                # arrayified ONLY when not already an array — an EMPTY
+                # @default stays [], so cleanup's ['@preserve'][0] is
+                # undefined and the property drops (wave-17 seed 1026)
+                preserve = copy.deepcopy(default)
+                if not isinstance(preserve, list):
+                    preserve = [preserve]
+                output[prop] = [{"@preserve": preserve}]
 
         # @reverse framing: find nodes referencing this subject
         # (cf. frame.js:297-315)
@@ -718,27 +725,42 @@ def _unwrap_type_preserve(element, _seen: set | None = None):
                 _unwrap_type_preserve(v, _seen)
 
 
+_UNDEF = object()  # JS `undefined`: dropped from objects, null in arrays
+
+
 def _cleanup_preserve(element, _memo: dict | None = None):
     # _memo maps original dict identity -> rebuilt dict so @link-shared
     # (possibly cyclic) structures stay shared and the walk terminates
     if _memo is None:
         _memo = {}
     if isinstance(element, list):
-        return [_cleanup_preserve(e, _memo) for e in element]
+        # a JS `undefined` element (an EMPTY @preserve) vanishes with
+        # the surrounding machinery — mirror by dropping it
+        out_l = [_cleanup_preserve(e, _memo) for e in element]
+        return [e for e in out_l if e is not _UNDEF]
     if isinstance(element, dict):
         if id(element) in _memo:
             return _memo[id(element)]
         if "@preserve" in element and len(element) == 1:
             v = element["@preserve"]
-            if isinstance(v, list) and len(v) == 1:
-                v = v[0]
+            if isinstance(v, list):
+                # the reference ALWAYS takes element [0]
+                # (frame.js:702-703: `return input['@preserve'][0]`) —
+                # a multi-element @default keeps only its first value,
+                # an EMPTY one becomes JS undefined and the property
+                # drops (wave-17 fuzz seed 44)
+                v = v[0] if v else _UNDEF
+            if v is _UNDEF:
+                return _UNDEF
             if v == "@null":
                 return None
             return _cleanup_preserve(v, _memo)
         out: dict[str, Any] = {}
         _memo[id(element)] = out
         for k, v in element.items():
-            out[k] = _cleanup_preserve(v, _memo)
+            cleaned = _cleanup_preserve(v, _memo)
+            if cleaned is not _UNDEF:
+                out[k] = cleaned
         return out
     if element == "@null":
         return None

@@ -527,7 +527,12 @@ def gen_frame(seed: int, doc: dict) -> dict:
     if rng.random() < 0.2:
         frame["@explicit"] = True
     if rng.random() < 0.2:
-        frame[rng.choice(TERMS)] = {"@default": "filled"}
+        # wave-17: richer @default shapes — the explicit "@null"
+        # sentinel (compacts to null via @preserve/cleanupNull), empty
+        # and non-empty arrays, and node-object defaults
+        frame[rng.choice(TERMS)] = {"@default": rng.choice(
+            ["filled", "@null", [], ["d1", "d2"],
+             {"@id": "urn:default"}, 0, False])}
     # widened pattern families (each independent, deterministic)
     wr = rng.random()
     if wr < 0.15:
