@@ -130,9 +130,14 @@ def gen_context(rng: random.Random) -> dict:
                 else:
                     td["@context"]["@direction"] = rng.choice(
                         ["ltr", "rtl", None])
-        if rng.random() < 0.1 and container is None:
+        if rng.random() < 0.1 and container in (None, "@set", "@index"):
+            # wave-18: @reverse terms may carry @set/@index containers
+            # (the only legal combos, context.js invalid reverse
+            # property gate); @type must be @id/@vocab or absent
             td.pop("@id")
             td["@reverse"] = EX + "rev/" + term
+            if td.get("@type") not in (None, "@id", "@vocab"):
+                td.pop("@type", None)
         ctx[term] = td
     for t in TYPES:
         if rng.random() < 0.3:
@@ -278,7 +283,19 @@ def gen_node(rng: random.Random, depth: int) -> dict:
     if rng.random() < 0.15 and depth > 0:
         node["@graph"] = [gen_node(rng, depth - 1)]
     if rng.random() < 0.1 and depth > 0:
-        node["@reverse"] = {EX + "rp": {"@id": "urn:rev"}}
+        # wave-18: richer reverse maps — multiple properties, node
+        # ARRAYS, term-named reverse keys
+        r3 = rng.random()
+        if r3 < 0.5:
+            node["@reverse"] = {EX + "rp": {"@id": "urn:rev"}}
+        elif r3 < 0.75:
+            node["@reverse"] = {
+                EX + "rp": [{"@id": "urn:rev"},
+                            {"@id": "urn:rev2",
+                             rng.choice(TERMS): gen_value(rng, 0)}],
+                rng.choice(TERMS): {"@id": "urn:rev3"}}
+        else:
+            node["@reverse"] = {rng.choice(TERMS): {"@id": "urn:rev4"}}
     if rng.random() < 0.1:
         node["@index"] = "idx" + str(rng.randint(0, 2))
     # round-5 grammar widening: @included blocks, nest-alias routing,
