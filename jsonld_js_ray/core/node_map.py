@@ -211,8 +211,12 @@ def create_node_map(element, graph_map: dict, active_graph: str,
     node = graph.setdefault(node_id, {"@id": node_id})
 
     if isinstance(active_subject, dict):
-        # reverse-property linkage: subject reference under property of node
-        add_value(node, active_property, active_subject)
+        # reverse-property linkage handled AFTER the property loop —
+        # the reference recurses into the item FIRST and appends the
+        # referenced node afterwards (nodeMap.js:129-133), so the
+        # reverse-derived reference lands after the item's own values
+        # (wave-18 fuzz seed 12909)
+        pass
     elif active_property is not None:
         reference = {"@id": node_id}
         if list_ is None:
@@ -307,6 +311,12 @@ def create_node_map(element, graph_map: dict, active_graph: str,
             continue
         create_node_map(values, graph_map, active_graph, issuer, node_id,
                         prop)
+
+    if isinstance(active_subject, dict):
+        # reverse-property linkage: the referenced node appends under
+        # the reverse property AFTER the item's own properties
+        # (nodeMap.js:129-133 addValue follows createNodeMap)
+        add_value(node, active_property, active_subject)
 
 
 def merge_node_map_graphs(graph_map: dict) -> dict:
